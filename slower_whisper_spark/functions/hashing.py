@@ -1,0 +1,28 @@
+"""Canonical content hashing for suites, manifests and snapshots.
+
+The recipe — ``sha256(json.dumps(obj, sort_keys=True, separators=(",", ":")))``
+— reproduces the reference's schema-hash normalization
+(ref: transcription/schema/registry.py:104-113) so rule hashes are stable
+across Python versions and dict orderings. The 12-hex short form mirrors the
+reference's config_hash (ref: transcription/receipt.py:100-115).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+
+def canonical_json(obj: Any) -> str:
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=True)
+
+
+def canonical_hash(obj: Any) -> str:
+    """Full sha256 hex digest of the canonical JSON form of ``obj``."""
+    return hashlib.sha256(canonical_json(obj).encode("utf-8")).hexdigest()
+
+
+def short_hash(obj: Any, n: int = 12) -> str:
+    """Truncated canonical hash (default 12 hex chars)."""
+    return canonical_hash(obj)[:n]

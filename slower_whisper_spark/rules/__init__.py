@@ -1,0 +1,27 @@
+from slower_whisper_spark.rules.base import Rule, RowRule, TableRule
+from slower_whisper_spark.rules.schema import NotNull, Const, Enum, Pattern, Range, Length
+from slower_whisper_spark.rules.row import Expr, Conditional
+from slower_whisper_spark.rules.unique import Unique
+from slower_whisper_spark.rules.refint import ForeignKey
+from slower_whisper_spark.rules.invariant import HashInvariant
+from slower_whisper_spark.rules.drift import Drift, Baseline, compute_baseline
+
+__all__ = [
+    "Rule",
+    "RowRule",
+    "TableRule",
+    "NotNull",
+    "Const",
+    "Enum",
+    "Pattern",
+    "Range",
+    "Length",
+    "Expr",
+    "Conditional",
+    "Unique",
+    "ForeignKey",
+    "HashInvariant",
+    "Drift",
+    "Baseline",
+    "compute_baseline",
+]

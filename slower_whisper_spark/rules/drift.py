@@ -1,0 +1,187 @@
+"""Distribution-drift rules: PSI / KS against a checkpointed baseline.
+
+Ancestor: the reference's baseline regression gate — per-metric regression
+``(current - baseline) / baseline`` compared to a threshold (default 0.10),
+``overall_passed = all(...)``, report vs gate mode
+(ref: transcription/benchmark_cli.py:191,476-540). Here the "metric" is a
+whole distribution: we bucket the column with fixed edges, compare the
+per-partition histogram to the checkpointed baseline histogram with PSI
+(Population Stability Index) or KS (max CDF distance), and fail partitions
+whose statistic exceeds the threshold.
+
+Everything is declarative Spark: ``width_bucket`` → ``groupBy(partition,
+bucket).count()`` → broadcast-join the (tiny) baseline histogram → windowed
+cumulative sums for KS. The baseline itself is a small JSON-able dict that
+lives in the checkpoint manifest (mergeable across runs by summing counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.rules.base import TableRule
+
+_EPS = 1e-6
+
+
+@dataclass
+class Baseline:
+    """Checkpointed distribution snapshot for one column."""
+
+    column: str
+    kind: str  # "hist" | "cat"
+    counts: list[int]
+    lo: float | None = None
+    hi: float | None = None
+    n_buckets: int | None = None
+    categories: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "Baseline":
+        return Baseline(**d)
+
+
+def compute_baseline(
+    df: DataFrame, column: str, kind: str = "hist", n_buckets: int = 20,
+    lo: float | None = None, hi: float | None = None, max_categories: int = 100,
+) -> Baseline:
+    """One aggregation job → a small driver-side Baseline."""
+    if kind == "hist":
+        if lo is None or hi is None:
+            mm = df.agg(
+                F.min(F.col(column).cast("double")).alias("lo"),
+                F.max(F.col(column).cast("double")).alias("hi"),
+            ).first()
+            lo = float(mm["lo"]) if lo is None else lo
+            hi = float(mm["hi"]) if hi is None else hi
+            if hi <= lo:
+                hi = lo + 1.0
+        rows = (
+            df.select(
+                F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [0] * (n_buckets + 2)  # width_bucket: 0=underflow, n+1=overflow
+        for r in rows:
+            if r["b"] is not None:
+                counts[int(r["b"])] = int(r["count"])
+        return Baseline(column=column, kind="hist", counts=counts, lo=lo, hi=hi, n_buckets=n_buckets)
+
+    rows = (
+        df.groupBy(F.col(column).cast("string").alias("c"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("c"))
+        .limit(max_categories)
+        .collect()
+    )
+    cats = [r["c"] if r["c"] is not None else "<NULL>" for r in rows]
+    counts = [int(r["count"]) for r in rows]
+    return Baseline(column=column, kind="cat", counts=counts, categories=cats)
+
+
+class Drift(TableRule):
+    def __init__(
+        self,
+        column: str,
+        baseline: Baseline,
+        metric: str = "psi",  # "psi" | "ks"
+        threshold: float = 0.25,
+        rule_id: str | None = None,
+    ):
+        if metric == "ks" and baseline.kind != "hist":
+            raise ValueError("KS drift requires a histogram baseline")
+        self.column = column
+        self.baseline = baseline
+        self.metric = metric
+        self.threshold = threshold
+        self.rule_id = rule_id or f"drift({column},{metric})"
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "type": "drift",
+            "column": self.column,
+            "metric": self.metric,
+            "threshold": self.threshold,
+            "baseline": self.baseline.to_dict(),
+            "rule_id": self.rule_id,
+        }
+
+    def _bucketed(self, df: DataFrame, partition_col: str) -> DataFrame:
+        b = self.baseline
+        if b.kind == "hist":
+            bucket = F.width_bucket(
+                F.col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
+            )
+        else:
+            known = F.col(self.column).cast("string")
+            cats = list(b.categories)
+            # unseen categories collapse into one drift bucket
+            bucket = (
+                F.when(known.isNull(), F.lit(cats.index("<NULL>") if "<NULL>" in cats else -1))
+                .otherwise(
+                    F.coalesce(
+                        F.array_position(F.lit(cats), known) - 1, F.lit(-1)
+                    )
+                )
+            )
+        return (
+            df.select(F.col(partition_col).cast("string").alias("__part"), bucket.alias("__bucket"))
+            .groupBy("__part", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+
+    def _baseline_df(self, spark) -> DataFrame:
+        b = self.baseline
+        rows = [(int(i), int(c)) for i, c in enumerate(b.counts)]
+        if b.kind == "cat":
+            rows.append((-1, 0))  # unseen-category bucket, zero baseline mass
+        return spark.createDataFrame(rows, "__bucket int, __base long")
+
+    def evaluate(
+        self,
+        df: DataFrame,
+        *,
+        key_col: str,
+        partition_col: str,
+        violation_limit: int,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        spark = df.sparkSession
+        cur = self._bucketed(df, partition_col)
+        base = F.broadcast(self._baseline_df(spark))
+
+        # full (partition × bucket) grid so zero-count buckets still contribute
+        parts = cur.select("__part").distinct()
+        grid = parts.crossJoin(base)
+        joined = grid.join(cur, ["__part", "__bucket"], "left").fillna({"__cnt": 0})
+
+        tot = Window.partitionBy("__part")
+        joined = joined.withColumn("__p", (F.col("__cnt") + _EPS) / (F.sum("__cnt").over(tot) + _EPS))
+        joined = joined.withColumn("__q", (F.col("__base") + _EPS) / (F.sum("__base").over(tot) + _EPS))
+
+        if self.metric == "psi":
+            contrib = (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q"))
+            stat = joined.groupBy("__part").agg(F.sum(contrib).alias("__stat"))
+        else:  # ks: max |CDF_p - CDF_q| over ordered buckets
+            w = Window.partitionBy("__part").orderBy("__bucket")
+            cdf = joined.withColumn("__cp", F.sum("__p").over(w)).withColumn("__cq", F.sum("__q").over(w))
+            stat = cdf.groupBy("__part").agg(F.max(F.abs(F.col("__cp") - F.col("__cq"))).alias("__stat"))
+
+        verdicts = stat.select(
+            F.col("__part").alias("partition"),
+            F.lit(self.rule_id).alias("rule_id"),
+            (F.col("__stat") <= F.lit(self.threshold)).alias("passed"),
+            F.lit(0).cast("long").alias("violations"),
+            F.concat(F.lit(f"{self.metric}="), F.round(F.col("__stat"), 6).cast("string")).alias("observed"),
+            F.lit(f"{self.metric} <= {self.threshold}").alias("expected"),
+        )
+        return verdicts, None

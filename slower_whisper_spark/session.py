@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the validation engine.
+
+Defaults target correctness tests on local[N]; the same knobs are what we'd
+set on a 1000-executor cluster (AQE on, sensible shuffle partitioning,
+Arrow enabled for the pandas-UDF escape hatch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "slower_whisper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    AQE is enabled so runtime statistics can re-plan joins (broadcast
+    conversion, skew-join splitting) — the scale-path behaviors the north
+    rule demands. ``spark.sql.shuffle.partitions`` defaults to 2x cores
+    locally; on a real cluster it should be set to ~2-3x total cores and
+    AQE coalescing will trim empty partitions.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            n = cores if inner == "*" else int(inner)
+        else:
+            n = cores
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,234 @@
+"""ConstraintSuite — a named, versioned, content-hashed set of rules, and the
+engine that evaluates it.
+
+Identity model mirrors the reference's schema registry + lockfile:
+``KNOWN_SCHEMAS``-style (name, version) pairs with a canonical
+sort-keys-JSON sha256 (ref: transcription/schema/registry.py:62-65,104-113);
+``suite_hash`` plays the lockfile-hash role — a checkpoint whose recorded
+rule_hash differs is invalid and forces re-validation
+(ref: transcription/schema/integrity.py:222-335).
+
+Evaluation plan (two scans, both fully declarative):
+
+  pass 1 — one wide ``groupBy(partition).agg(...)``: total row count plus a
+           conditional-sum failure count per row rule. This is the "single
+           vectorized pass" — Catalyst prunes the scan to exactly the
+           columns the rules reference, and whole-stage codegen fuses every
+           predicate into the same loop over the Parquet column batches.
+  pass 2 — violation rows, only executed when pass 1 found failures: one
+           scan building an array of failed-rule structs per row →
+           ``explode`` → per-rule ``row_number`` limit. The per-rule limit
+           mirrors the reference's first-N-errors truncation
+           (ref: transcription/transcript_io.py:27-30).
+
+Table rules (unique / fk / hash-invariant / drift) contribute their own jobs
+and are unioned into the same verdict/violation shapes
+(ref violation-row shape: transcription/schema/validator.py:128-136).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.functions.hashing import canonical_hash
+from slower_whisper_spark.rules.base import RowRule, Rule, TableRule
+
+VERDICT_COLS = ["partition", "rule_id", "passed", "rows", "violations", "observed", "expected"]
+VIOLATION_COLS = ["key", "rule_id", "observed", "expected"]
+
+
+@dataclass
+class SuiteResult:
+    suite_name: str
+    suite_version: int
+    suite_hash: str
+    verdicts: DataFrame  # VERDICT_COLS
+    violations: DataFrame  # VIOLATION_COLS
+
+    def partition_status(self) -> DataFrame:
+        """Per-partition rollup with the reference's status vocabulary:
+        success (no rule failed) / partial (some rules failed)
+        (ref: transcription/models.py:363,449 and audio_enrichment.py:322-377)."""
+        return (
+            self.verdicts.groupBy("partition")
+            .agg(
+                F.max("rows").alias("rows"),
+                F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("rules_failed"),
+                F.sum("violations").alias("violations"),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("rules_failed") == 0, F.lit("success")).otherwise(F.lit("partial")),
+            )
+            .select("partition", "status", "rows", "rules_failed", "violations")
+        )
+
+    def overall_passed(self) -> bool:
+        """Gate-mode verdict (ref: benchmark_cli.py overall_passed = all(...))."""
+        return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+
+class ConstraintSuite:
+    def __init__(self, name: str, rules: list[Rule], version: int = 1):
+        self.name = name
+        self.version = version
+        self.rules = list(rules)
+        ids = [r.rule_id for r in self.rules]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate rule_ids in suite: {ids}")
+
+    @property
+    def row_rules(self) -> list[RowRule]:
+        return [r for r in self.rules if isinstance(r, RowRule)]
+
+    @property
+    def table_rules(self) -> list[TableRule]:
+        return [r for r in self.rules if isinstance(r, TableRule)]
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "rules": [r.spec() for r in self.rules],
+        }
+
+    @property
+    def suite_hash(self) -> str:
+        return canonical_hash(self.spec())
+
+    # ------------------------------------------------------------------ #
+
+    def validate(
+        self,
+        df: DataFrame,
+        *,
+        key_col: str = "url",
+        partition_col: str | None = None,
+        violation_limit: int = 100,
+        always_collect_violations: bool = False,
+    ) -> SuiteResult:
+        spark = df.sparkSession
+        pcol = partition_col or "__all"
+        if partition_col is None:
+            df = df.withColumn("__all", F.lit("ALL"))
+
+        verdict_parts: list[DataFrame] = []
+        violation_parts: list[DataFrame] = []
+
+        # ---- pass 1: one wide agg for all row rules -------------------- #
+        row_rules = self.row_rules
+        agg_exprs = [F.count(F.lit(1)).alias("rows")] + [r.fail_count_expr() for r in row_rules]
+        wide = df.groupBy(F.col(pcol).cast("string").alias("partition")).agg(*agg_exprs)
+        wide = wide.cache()
+        part_rows = wide.select("partition", "rows")
+
+        if row_rules:
+            stacked = wide.select(
+                "partition",
+                "rows",
+                F.expr(
+                    f"stack({len(row_rules)}, "
+                    + ", ".join(f"'{_sql_quote(r.rule_id)}', `viol__{r.rule_id}`" for r in row_rules)
+                    + ") as (rule_id, violations)"
+                ),
+            )
+            row_verdicts = stacked.select(
+                "partition",
+                "rule_id",
+                (F.col("violations") == 0).alias("passed"),
+                F.col("rows").cast("long").alias("rows"),
+                F.col("violations").cast("long").alias("violations"),
+                F.concat(F.col("violations").cast("string"), F.lit(" violating rows")).alias("observed"),
+                F.lit("0 violating rows").alias("expected"),
+            )
+            verdict_parts.append(row_verdicts)
+
+            # ---- pass 2: violation rows (only if something failed) ------ #
+            total_viols = wide.select(
+                reduce(lambda a, b: a + b, [F.sum(f"viol__{r.rule_id}") for r in row_rules]).alias("t")
+            ).first()["t"]
+            if (total_viols or 0) > 0 or always_collect_violations:
+                structs = F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.rule_id).alias("rule_id"),
+                            r.observed().alias("observed"),
+                            r.expected().alias("expected"),
+                            r.predicate().alias("ok"),
+                        )
+                        for r in row_rules
+                    ]
+                )
+                failed = F.filter(structs, lambda s: ~s["ok"])
+                exploded = (
+                    df.select(F.col(key_col).cast("string").alias("key"), failed.alias("__f"))
+                    .filter(F.size("__f") > 0)
+                    .select("key", F.explode("__f").alias("v"))
+                    .select(
+                        "key",
+                        F.col("v.rule_id").alias("rule_id"),
+                        F.col("v.observed").alias("observed"),
+                        F.col("v.expected").alias("expected"),
+                    )
+                )
+                w = Window.partitionBy("rule_id").orderBy("key")
+                limited = (
+                    exploded.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= violation_limit)
+                    .drop("__rn")
+                )
+                violation_parts.append(limited)
+
+        # ---- table rules ------------------------------------------------ #
+        for rule in self.table_rules:
+            tv, tviol = rule.evaluate(
+                df, key_col=key_col, partition_col=pcol, violation_limit=violation_limit
+            )
+            # fill in passing partitions the rule didn't emit
+            full = (
+                part_rows.join(tv, "partition", "left")
+                .select(
+                    "partition",
+                    F.coalesce(F.col("rule_id"), F.lit(rule.rule_id)).alias("rule_id"),
+                    F.coalesce(F.col("passed"), F.lit(True)).alias("passed"),
+                    F.col("rows").cast("long").alias("rows"),
+                    F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),
+                    F.coalesce(F.col("observed"), F.lit("ok")).alias("observed"),
+                    F.coalesce(F.col("expected"), F.lit("")).alias("expected"),
+                )
+            )
+            verdict_parts.append(full)
+            if tviol is not None:
+                violation_parts.append(tviol)
+
+        verdicts = reduce(lambda a, b: a.unionByName(b), verdict_parts) if verdict_parts else _empty_verdicts(spark)
+        if "rows" not in verdicts.columns:  # pragma: no cover
+            verdicts = verdicts.join(part_rows, "partition", "left")
+        violations = (
+            reduce(lambda a, b: a.unionByName(b), violation_parts)
+            if violation_parts
+            else spark.createDataFrame([], "key string, rule_id string, observed string, expected string")
+        )
+        return SuiteResult(
+            suite_name=self.name,
+            suite_version=self.version,
+            suite_hash=self.suite_hash,
+            verdicts=verdicts.select(*VERDICT_COLS),
+            violations=violations.select(*VIOLATION_COLS),
+        )
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _empty_verdicts(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "partition string, rule_id string, passed boolean, rows long, violations long, observed string, expected string",
+    )
