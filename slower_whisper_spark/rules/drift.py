@@ -96,14 +96,20 @@ class Drift(TableRule):
         baseline: Baseline,
         metric: str = "psi",  # "psi" | "ks"
         threshold: float = 0.25,
+        min_rows: int = 100,
         rule_id: str | None = None,
     ):
+        """min_rows: partitions smaller than this pass vacuously — a
+        distribution statistic over a handful of rows is noise, and at
+        10^12-doc scale a partition that small signals an ingest anomaly
+        better caught by a Range/NotNull rule."""
         if metric == "ks" and baseline.kind != "hist":
             raise ValueError("KS drift requires a histogram baseline")
         self.column = column
         self.baseline = baseline
         self.metric = metric
         self.threshold = threshold
+        self.min_rows = min_rows
         self.rule_id = rule_id or f"drift({column},{metric})"
 
     def spec(self) -> dict[str, Any]:
@@ -112,6 +118,7 @@ class Drift(TableRule):
             "column": self.column,
             "metric": self.metric,
             "threshold": self.threshold,
+            "min_rows": self.min_rows,
             "baseline": self.baseline.to_dict(),
             "rule_id": self.rule_id,
         }
@@ -170,18 +177,29 @@ class Drift(TableRule):
 
         if self.metric == "psi":
             contrib = (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q"))
-            stat = joined.groupBy("__part").agg(F.sum(contrib).alias("__stat"))
+            stat = joined.groupBy("__part").agg(
+                F.sum(contrib).alias("__stat"), F.sum("__cnt").alias("__n")
+            )
         else:  # ks: max |CDF_p - CDF_q| over ordered buckets
             w = Window.partitionBy("__part").orderBy("__bucket")
             cdf = joined.withColumn("__cp", F.sum("__p").over(w)).withColumn("__cq", F.sum("__q").over(w))
-            stat = cdf.groupBy("__part").agg(F.max(F.abs(F.col("__cp") - F.col("__cq"))).alias("__stat"))
+            stat = cdf.groupBy("__part").agg(
+                F.max(F.abs(F.col("__cp") - F.col("__cq"))).alias("__stat"),
+                F.sum("__cnt").alias("__n"),
+            )
 
+        small = F.col("__n") < F.lit(self.min_rows)
         verdicts = stat.select(
             F.col("__part").alias("partition"),
             F.lit(self.rule_id).alias("rule_id"),
-            (F.col("__stat") <= F.lit(self.threshold)).alias("passed"),
+            (small | (F.col("__stat") <= F.lit(self.threshold))).alias("passed"),
             F.lit(0).cast("long").alias("violations"),
-            F.concat(F.lit(f"{self.metric}="), F.round(F.col("__stat"), 6).cast("string")).alias("observed"),
+            F.when(
+                small,
+                F.concat(F.lit("skipped: n="), F.col("__n").cast("string"), F.lit(f" < min_rows={self.min_rows}")),
+            )
+            .otherwise(F.concat(F.lit(f"{self.metric}="), F.round(F.col("__stat"), 6).cast("string")))
+            .alias("observed"),
             F.lit(f"{self.metric} <= {self.threshold}").alias("expected"),
         )
         return verdicts, None

@@ -117,19 +117,9 @@ class ForeignKey(TableRule):
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         bc = spark.sparkContext.broadcast((bits, m, k))
 
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        from slower_whisper_spark.functions.vectorized import make_bloom_might_contain
 
-        @pandas_udf("boolean")
-        def might_contain(h: pd.Series) -> pd.Series:
-            b, mm, kk = bc.value
-            vals = h.to_numpy(dtype=np.int64).astype(np.uint64)
-            if len(vals) == 0:
-                return pd.Series([], dtype=bool)
-            pos = _bloom_hashes(vals, mm, kk)
-            hit = (b[(pos >> 3)] & (1 << (pos & 7)).astype(np.uint8)) != 0
-            return pd.Series(hit.all(axis=1))
-
+        might_contain = make_bloom_might_contain(bc)
         hashed = fact.withColumn("__h", F.xxhash64(F.col("__fk")))
         return hashed.filter(~might_contain(F.col("__h"))).drop("__h")
 

@@ -1,0 +1,179 @@
+"""Unique / ForeignKey / HashInvariant / Drift table rules.
+
+Includes the equivalence proofs SURVEY §7.2 requires: salted two-phase
+uniqueness == naive dropDuplicates; Bloom refint ⊆ exact anti-join refint.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from slower_whisper_spark import ConstraintSuite, ForeignKey, HashInvariant, Unique
+from slower_whisper_spark.rules.drift import Baseline, Drift, compute_baseline
+
+
+# --------------------------------------------------------------------- #
+# Unique
+# --------------------------------------------------------------------- #
+def test_unique_matches_naive_dedup(docs_small):
+    docs, _, _ = docs_small
+    suite = ConstraintSuite("u", [Unique("url")])
+    res = suite.validate(docs, key_col="url", partition_col="warc_day", violation_limit=10_000)
+
+    n_total = docs.count()
+    n_distinct = docs.select("url").distinct().count()
+    naive_dup_rows = (
+        docs.groupBy("url").count().filter("count > 1").agg(F.sum("count")).first()[0] or 0
+    )
+    assert n_distinct < n_total  # corruption plan guarantees duplicates
+
+    verd = res.verdicts.toPandas()
+    assert verd["violations"].sum() == naive_dup_rows
+
+    viol = res.violations.toPandas()
+    dup_keys_naive = {
+        r["url"] for r in docs.groupBy("url").count().filter("count > 1").collect()
+    }
+    assert set(viol["key"]) == dup_keys_naive
+
+
+def test_unique_clean_column_passes(docs_small):
+    docs, _, _ = docs_small
+    # synthesize a guaranteed-unique key
+    uniq = docs.withColumn("rid", F.monotonically_increasing_id())
+    res = ConstraintSuite("u2", [Unique("rid")]).validate(
+        uniq, key_col="rid", partition_col="warc_day"
+    )
+    assert res.overall_passed()
+
+
+def test_unique_salted_equivalence_unpartitioned(docs_small):
+    docs, _, _ = docs_small
+    res_plain = ConstraintSuite("u3", [Unique("url")]).validate(docs, key_col="url")
+    res_salted = ConstraintSuite("u4", [Unique("url", salt_buckets=16)]).validate(
+        docs, key_col="url"
+    )
+    v1 = res_plain.verdicts.agg(F.sum("violations")).first()[0]
+    v2 = res_salted.verdicts.agg(F.sum("violations")).first()[0]
+    assert v1 == v2
+
+
+# --------------------------------------------------------------------- #
+# ForeignKey
+# --------------------------------------------------------------------- #
+HOST_EXPR = "parse_url(url, 'HOST')"
+
+
+def test_fk_broadcast_anti_join(docs_small):
+    docs, _, ref = docs_small
+    rule = ForeignKey(HOST_EXPR, ref, "host", rule_id="host_known")
+    res = ConstraintSuite("fk", [rule]).validate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=100_000
+    )
+    # oracle: exact anti-join via isin on the collected dim
+    known = {r["host"] for r in ref.collect()}
+    n_bad = docs.filter(~F.expr(HOST_EXPR).isin(list(known))).count()
+    assert n_bad > 0  # corruption plan guarantees unknown hosts
+    assert res.verdicts.agg(F.sum("violations")).first()[0] == n_bad
+    viol = res.violations.toPandas()
+    assert (viol["rule_id"] == "host_known").all()
+    assert set(viol["observed"]) <= {f"h{i:05d}.example.org" for i in range(100_000)} - known
+
+
+def test_fk_bloom_reports_only_real_violations(docs_small):
+    docs, _, ref = docs_small
+    exact = ForeignKey(HOST_EXPR, ref, "host", rule_id="fk_exact")
+    bloom = ForeignKey(HOST_EXPR, ref, "host", rule_id="fk_bloom", mode="bloom", fp_rate=1e-4)
+
+    exact_v, _ = exact.evaluate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=10**9
+    )
+    bloom_v, bloom_rows = bloom.evaluate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=10**9
+    )
+    n_exact = exact_v.agg(F.sum("violations")).first()[0] or 0
+    n_bloom = bloom_v.agg(F.sum("violations")).first()[0] or 0
+    # Bloom can only MISS violations (false positives pass bad rows), never invent them
+    assert 0 < n_bloom <= n_exact
+    # and at this fp rate it should find essentially all of them
+    assert n_bloom >= 0.95 * n_exact
+
+
+# --------------------------------------------------------------------- #
+# HashInvariant
+# --------------------------------------------------------------------- #
+def test_hash_invariant_detects_exact_mutations(docs_small):
+    docs, expected, _ = docs_small
+    rule = HashInvariant("text", expected, rule_id="text_bytes")
+    res = ConstraintSuite("hi", [rule]).validate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=100_000
+    )
+    # oracle: recompute in-Spark
+    n_bad = (
+        docs.select("url", F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .join(expected, "url")
+        .filter(F.col("h") != F.col("text_sha256"))
+        .count()
+    )
+    assert n_bad > 0
+    assert res.verdicts.agg(F.sum("violations")).first()[0] == n_bad
+    viol = res.violations.toPandas()
+    assert (viol["observed"] != viol["expected"]).all()
+
+
+# --------------------------------------------------------------------- #
+# Drift
+# --------------------------------------------------------------------- #
+def test_drift_in_distribution_passes(docs_small, spark):
+    docs, _, _ = docs_small
+    base = compute_baseline(docs.withColumn("tl", F.length("text")), "tl", "hist", n_buckets=20)
+    rule = Drift("tl", base, metric="psi", threshold=0.25)
+    res = ConstraintSuite("d", [rule]).validate(
+        docs.withColumn("tl", F.length("text")), key_col="url", partition_col="warc_day"
+    )
+    verd = res.verdicts.toPandas()
+    assert verd["passed"].all()
+    # real partitions get a psi stat; the tiny out-of-window day is skipped
+    assert (
+        verd["observed"].str.startswith("psi=") | verd["observed"].str.startswith("skipped:")
+    ).all()
+    assert verd["observed"].str.startswith("psi=").sum() >= 30
+
+
+def test_drift_shifted_distribution_fails(docs_small, spark):
+    docs, _, _ = docs_small
+    with_len = docs.withColumn("tl", F.length("text"))
+    base = compute_baseline(with_len, "tl", "hist", n_buckets=20)
+    shifted = docs.withColumn("tl", (F.length("text") * 1.6).cast("long"))
+    for metric, thr in [("psi", 0.25), ("ks", 0.1)]:
+        rule = Drift("tl", base, metric=metric, threshold=thr)
+        res = ConstraintSuite(f"d-{metric}", [rule]).validate(
+            shifted, key_col="url", partition_col="warc_day"
+        )
+        verd = res.verdicts.toPandas()
+        scored = verd[~verd["observed"].str.startswith("skipped:")]
+        assert len(scored) >= 30 and not scored["passed"].any(), metric
+
+
+def test_drift_categorical(docs_small, spark):
+    docs, _, _ = docs_small
+    base = compute_baseline(docs, "lang", "cat")
+    ok = ConstraintSuite("dc", [Drift("lang", base, metric="psi", threshold=0.25)]).validate(
+        docs, key_col="url", partition_col="warc_day"
+    )
+    assert ok.verdicts.toPandas()["passed"].all()
+
+    # lang mix flipped → breach
+    flipped = docs.withColumn("lang", F.when(F.col("lang") == "en", "zh").otherwise(F.lit("en")))
+    bad = ConstraintSuite("dc2", [Drift("lang", base, metric="psi", threshold=0.25)]).validate(
+        flipped, key_col="url", partition_col="warc_day"
+    )
+    bverd = bad.verdicts.toPandas()
+    scored = bverd[~bverd["observed"].str.startswith("skipped:")]
+    assert len(scored) >= 30 and not scored["passed"].any()
+
+
+def test_baseline_roundtrip():
+    b = Baseline(column="x", kind="hist", counts=[1, 2, 3], lo=0.0, hi=10.0, n_buckets=1)
+    assert Baseline.from_dict(b.to_dict()) == b
