@@ -1,0 +1,101 @@
+"""CLI: ``python -m slower_whisper_spark.cli validate ...``.
+
+Mirrors the reference's validate subcommand + exit-code contract
+(ref: transcription/cli.py:479-495,1162-1173 — print failures one per line,
+exit 1 if any, else "[ok] N valid") and the benchmark compare report|gate
+switch (ref: transcription/benchmark_cli.py:476-540).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_suite_from_file(path: str):
+    from slower_whisper_spark.migrate import auto_migrate, detect_version, suite_from_spec
+
+    with open(path) as f:
+        spec = json.load(f)
+    if detect_version(spec) < 2:
+        spec = auto_migrate(spec, 2)
+    return suite_from_spec(spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="slower-whisper-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run a constraint suite over a parquet table")
+    v.add_argument("table", help="path to (partitioned) parquet table")
+    v.add_argument("--suite", required=True, help="suite spec JSON (v1 specs auto-migrate)")
+    v.add_argument("--key-col", default="url")
+    v.add_argument("--partition-col", default="warc_day")
+    v.add_argument("--manifest", default=None, help="checkpoint manifest dir (enables resume)")
+    v.add_argument("--gate", action="store_true", help="exit 1 on any failure")
+    v.add_argument("--violation-limit", type=int, default=20)
+    v.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+
+    from slower_whisper_spark.session import get_spark
+    from slower_whisper_spark.sources.catalog import read, snapshot_id
+
+    spark = get_spark(app_name="sws-cli", master=args.master)
+    suite = _build_suite_from_file(args.suite)
+    df = read(spark, args.table)
+
+    if args.manifest:
+        from slower_whisper_spark.runner import GateFailure, ValidationRunner
+
+        runner = ValidationRunner(
+            suite,
+            args.manifest,
+            key_col=args.key_col,
+            partition_col=args.partition_col,
+            violation_limit=args.violation_limit,
+        )
+        try:
+            rr = runner.run(
+                df, snapshot_id=snapshot_id(args.table), mode="gate" if args.gate else "report"
+            )
+        except GateFailure as e:
+            print(f"[gate] {e}", file=sys.stderr)
+            return 1
+        print(
+            json.dumps(
+                {
+                    "run_id": rr.run_id,
+                    "suite_hash": rr.suite_hash,
+                    "processed": len(rr.processed_partitions),
+                    "skipped": len(rr.skipped_partitions),
+                    "rows": rr.rows_validated,
+                    "docs_per_sec": round(rr.docs_per_sec, 1),
+                    "overall_passed": rr.overall_passed,
+                }
+            )
+        )
+        if rr.result is not None and not rr.overall_passed:
+            for row in rr.result.violations.limit(args.violation_limit).collect():
+                print(f"[viol] {row['rule_id']}: key={row['key']} observed={row['observed']} expected={row['expected']}", file=sys.stderr)
+        return 0
+
+    res = suite.validate(
+        df,
+        key_col=args.key_col,
+        partition_col=args.partition_col if args.partition_col in df.columns else None,
+        violation_limit=args.violation_limit,
+    )
+    ok = res.overall_passed()
+    for row in res.violations.collect():
+        print(f"[viol] {row['rule_id']}: key={row['key']} observed={row['observed']} expected={row['expected']}", file=sys.stderr)
+    if ok:
+        print(f"[ok] suite {suite.name}@{suite.suite_hash[:12]} passed")
+        return 0
+    print(f"[fail] suite {suite.name}@{suite.suite_hash[:12]}", file=sys.stderr)
+    return 1 if args.gate else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
