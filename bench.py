@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline jobs at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "full_suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "suite_docs_per_sec": ..., "suite_rows": ...}
+
+The headline is the north-star metric: wall time (→ docs/sec) of the FULL
+constraint suite — schema/row rules + salted uniqueness + broadcast-Bloom
+referential integrity + hash invariant + PSI drift + single-pass stats —
+over the synthetic Common-Crawl-style webtext table (BASELINE.json
+input_hint shape), generated deterministically at a scale matched to the sf.
+
+``--scaling`` mode runs the identical suite job at local[8] and local[32]
+via subprocesses (the sandbox proxy for N vs 4N executors, per BASELINE.md)
+and writes BENCH.md with both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_CACHE = os.environ.get("SWS_BENCH_CACHE", "/tmp/sws_bench")
+
+SF_ROWS = {"0.001": 20_000, "0.01": 100_000, "0.1": 1_000_000}
+
+
+def _sf_from_dir(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def ensure_webtext(sf: str, spark) -> dict[str, str]:
+    """Build (once, cached) the synthetic webtext tables for this sf."""
+    n_rows = SF_ROWS.get(sf, 1_000_000)
+    out_dir = os.path.join(BENCH_CACHE, f"webtext_sf{sf}_n{n_rows}")
+    marker = os.path.join(out_dir, "_DONE")
+    paths = {
+        "docs": os.path.join(out_dir, "docs"),
+        "expected_text": os.path.join(out_dir, "expected_text.parquet"),
+        "ref_domains": os.path.join(out_dir, "ref_domains.parquet"),
+    }
+    if os.path.exists(marker):
+        return paths
+    from slower_whisper_spark.datagen import write_docs_dataset
+
+    paths = write_docs_dataset(out_dir, n_rows, spark=spark, seed=42, fast_text=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def build_suite(spark, paths):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from slower_whisper_spark import (
+        ConstraintSuite,
+        Expr,
+        ForeignKey,
+        HashInvariant,
+        Length,
+        NotNull,
+        Pattern,
+        Range,
+        Unique,
+    )
+    from slower_whisper_spark.rules.drift import Baseline, Drift
+
+    expected = spark.read.parquet(paths["expected_text"])
+    ref = spark.read.parquet(paths["ref_domains"])
+    # drift baseline: fixed edges over text length (checkpointed shape — a
+    # literal here so the bench job measures evaluation, not baseline build)
+    base = Baseline(column="text_len", kind="hist", counts=[1] * 22, lo=100.0, hi=500.0, n_buckets=20)
+    return ConstraintSuite(
+        "webtext-full",
+        [
+            NotNull("url"),
+            NotNull("lang", rule_id="not_null(lang)"),
+            Pattern("lang", r"^[a-z]{2}(-[A-Z]{2})?$"),
+            Range(
+                "warc_ts",
+                min=datetime.datetime(2026, 7, 1),
+                max=datetime.datetime(2026, 7, 31),
+            ),
+            Length("text", min=1),
+            Expr("length(html) >= 16", rule_id="html_min_bytes", expected="html >= 16 bytes"),
+            Unique("url"),
+            ForeignKey("parse_url(url, 'HOST')", ref, "host", rule_id="host_known", mode="bloom"),
+            HashInvariant("text", expected, rule_id="text_bytes"),
+            Drift("text_len", base, metric="psi", threshold=10.0, rule_id="drift(text_len)"),
+        ],
+    )
+
+
+def run_suite_bench(spark, paths) -> dict:
+    from pyspark.sql import functions as F
+
+    from slower_whisper_spark.stats import profile
+
+    docs = spark.read.parquet(paths["docs"]).withColumn("text_len", F.length("text"))
+    suite = build_suite(spark, paths)
+
+    t0 = time.monotonic()
+    res = suite.validate(docs, key_col="url", partition_col="warc_day", violation_limit=100)
+    verd = res.verdicts.collect()
+    n_viol = res.violations.count()
+    stats = profile(
+        docs, partition_col="warc_day", columns=["url", "warc_ts", "html", "text", "lang"]
+    ).collect()
+    wall = time.monotonic() - t0
+
+    rows = max(r["rows"] for r in verd) if verd else 0
+    rows = sum({r["partition"]: r["rows"] for r in verd}.values())
+    return {
+        "wall_sec": wall,
+        "rows": rows,
+        "docs_per_sec": rows / wall if wall > 0 else 0.0,
+        "n_verdicts": len(verd),
+        "n_violation_rows": n_viol,
+        "n_stat_rows": len(stats),
+    }
+
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "refint_counts",
+    "stats_profile",
+    "verdict_rollup",
+    "sessionize",
+    "dedup_exact",
+    "minhash_neardup",
+    "ann_bruteforce",
+    "token_counts",
+    "drift_histogram",
+]
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = os.environ.get("SWS_BENCH_MASTER", f"local[{cpus}]")
+    sf = _sf_from_dir(sf_dir)
+
+    sys.path.insert(0, REPO)
+    from slower_whisper_spark.session import get_spark
+
+    spark = get_spark(app_name="sws-bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    paths = ensure_webtext(sf, spark)
+    # warm-up trivial job so JVM startup isn't attributed to the suite
+    spark.read.parquet(paths["docs"]).limit(1).count()
+
+    suite_metrics = run_suite_bench(spark, paths)
+    queries = run_query_bench(spark, sf_dir)
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_suite_wall_sec",
+                "value": round(suite_metrics["wall_sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "suite_rows": suite_metrics["rows"],
+                "suite_docs_per_sec": round(suite_metrics["docs_per_sec"], 1),
+                "suite_violation_rows": suite_metrics["n_violation_rows"],
+                "master": master,
+            }
+        )
+    )
+    spark.stop()
+
+
+def scaling_main() -> None:
+    """Run the suite at local[8] and local[32]; write BENCH.md."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        env["SWS_BENCH_MASTER"] = f"local[{n}]"
+        env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+        print(f"local[{n}]: {line}")
+
+    t8 = results[8]["suite_docs_per_sec"]
+    t32 = results[32]["suite_docs_per_sec"]
+    eff = (t32 / t8) / 4 if t8 > 0 else 0.0
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            f"""# BENCH — full-constraint-suite throughput & scaling
+
+Protocol (BASELINE.md): identical suite job (schema/row rules + salted
+uniqueness + Bloom referential integrity + sha256 text invariant + PSI drift
++ single-pass stats) on the same deterministic synthetic webtext table,
+at two parallelism levels — the sandbox proxy for N vs 4N executors.
+
+| config | rows | wall (s) | validated docs/sec |
+|---|---|---|---|
+| local[8]  | {results[8]['suite_rows']} | {results[8]['value']} | {t8:,.0f} |
+| local[32] | {results[32]['suite_rows']} | {results[32]['value']} | {t32:,.0f} |
+
+**Scaling efficiency (throughput@32 / throughput@8) / 4 = {eff:.3f}**
+(target ≥ 0.8)
+
+Per-query timings at local[32], sf={results[32]['sf']}:
+
+| query | sec |
+|---|---|
+"""
+            + "\n".join(f"| {k} | {v} |" for k, v in results[32]["queries"].items())
+            + "\n"
+        )
+    print(f"scaling efficiency: {eff:.3f} → BENCH.md")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

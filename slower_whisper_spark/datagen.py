@@ -59,12 +59,28 @@ def _text_for(rng_ints: np.ndarray) -> list[str]:
     return out
 
 
+def _text_fast(rng: np.random.RandomState, n_rows: int) -> list[str]:
+    """Vectorized text generation for bench-scale tables: one RNG draw for
+    all rows (still fully deterministic given the seed)."""
+    words = np.array(_WORDS)
+    lens = rng.randint(20, 80, size=n_rows)
+    idx = rng.randint(0, len(words), size=int(lens.sum()))
+    toks = words[idx]
+    out = []
+    pos = 0
+    for ln in lens:
+        out.append(" ".join(toks[pos : pos + ln]))
+        pos += ln
+    return out
+
+
 def generate_docs(
     n_rows: int,
     seed: int = 42,
     n_hosts: int | None = None,
     plan: CorruptionPlan | None = None,
     html_mean_bytes: int = 256,
+    fast_text: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Returns (docs, expected_text, ref_domains) as pandas DataFrames.
 
@@ -118,8 +134,11 @@ def generate_docs(
         lang[i] = None
 
     # text: deterministic per row-seed; expected hash computed BEFORE mutation
-    text_seeds = rng.randint(0, 2**31 - 1, size=n_rows)
-    texts = np.array(_text_for(text_seeds), dtype=object)
+    if fast_text:
+        texts = np.array(_text_fast(rng, n_rows), dtype=object)
+    else:
+        text_seeds = rng.randint(0, 2**31 - 1, size=n_rows)
+        texts = np.array(_text_for(text_seeds), dtype=object)
     expected = pd.DataFrame({"url": urls, "text": texts}).drop_duplicates("url", keep="first")
     expected["text_sha256"] = [
         hashlib.sha256(t.encode("utf-8")).hexdigest() for t in expected["text"]

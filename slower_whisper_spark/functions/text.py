@@ -1,0 +1,119 @@
+"""Text-analysis column functions for webtext pipelines — all JVM-side
+Spark expressions (no UDFs): language-ID heuristic, quality scoring, token
+counting, shingling, fingerprinting.
+
+These are the "training-data pipeline" primitives layered on the documents
+table. The reference's ancestors are its text folds (word_count/full_text,
+ref: transcription/models.py:616-727) and keyword extraction
+(ref: transcription/streaming_semantic.py:452-521).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "con"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "des", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+}
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank strings give an empty array."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-flavored token estimate: split on word boundaries AND count
+    punctuation/digit runs separately (a cheap proxy for subword tokenizers;
+    deliberately deterministic and JVM-side)."""
+    c = F.col(c) if isinstance(c, str) else c
+    pieces = F.split(F.trim(c), r"(?<=\W)|(?=\W)")
+    nonblank = F.filter(pieces, lambda p: F.trim(p) != "")
+    return F.size(nonblank).cast("long")
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?\"'()\[\]{}]", ""))
+    return (n_punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def mean_word_length(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(c: Column | str) -> Column:
+    """[0,1] heuristic quality score: rewards 50-2000 tokens, mean word
+    length 3-12, some stopwords, low punctuation excess. Weights are fixed
+    and documented so the score is reproducible."""
+    n = token_count(c).cast("double")
+    len_score = F.when(n <= 0, 0.0).otherwise(
+        F.least(n / F.lit(50.0), F.lit(1.0)) * F.least(F.lit(2000.0) / F.greatest(n, F.lit(1.0)), F.lit(1.0))
+    )
+    mwl = mean_word_length(c)
+    wl_score = F.when((mwl >= 3) & (mwl <= 12), 1.0).otherwise(0.3)
+    sw = stopword_ratio(c, "en")
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    p = punct_ratio(c)
+    p_score = F.when(p <= 0.1, 1.0).otherwise(F.greatest(F.lit(1.0) - (p - 0.1) * 3.0, F.lit(0.0)))
+    return (0.4 * len_score + 0.2 * wl_score + 0.2 * sw_score + 0.2 * p_score).cast("double")
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-vote language ID over the 4 inventories; 'und' when no
+    stopwords hit. Deterministic ties break by fixed language order."""
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    scores = {}
+    for lg, words in STOPWORDS.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        scores[lg] = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lg in reversed(list(STOPWORDS)):
+        expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — the canonical
+    form used by fingerprints and shingles."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (array<string>;
+    documents shorter than n tokens get a single whole-text shingle)."""
+    toks = tokens(normalize_text(c))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)

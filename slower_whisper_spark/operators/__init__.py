@@ -1,1 +1,39 @@
+from slower_whisper_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash64,
+    simhash_near_duplicates,
+)
+from slower_whisper_spark.operators.sessionize import (
+    adjacent_pairs,
+    asof_join,
+    monotonic_gaps,
+    session_stats,
+    sessionize,
+)
+from slower_whisper_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
 
+__all__ = [
+    "drop_exact_duplicates",
+    "exact_duplicate_groups",
+    "jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_signature",
+    "simhash64",
+    "simhash_near_duplicates",
+    "adjacent_pairs",
+    "asof_join",
+    "monotonic_gaps",
+    "session_stats",
+    "sessionize",
+    "cosine_topk",
+    "embedding_near_duplicates",
+    "lsh_bucketed_topk",
+]

@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is shuffle-frugal and JVM-side:
+
+  * exact        — sha2 of (normalized) content, two-phase groupBy (the same
+                   salted pattern as rules/unique.py).
+  * minhash LSH  — k seeded xxhash64 minima over word shingles (one
+                   projection, no explode), banded; candidates are pairs
+                   sharing a band bucket; verified with exact Jaccard on the
+                   shingle sets. The classic shingle→minhash→band→bucket-join
+                   pipeline expressed entirely in higher-order array
+                   functions.
+  * simhash      — 64-bit sign-aggregated token-hash fingerprint; near-dups
+                   = fingerprints within a Hamming radius, bucketed by
+                   16-bit chunks (Charikar-style).
+  * n-gram Jaccard — exact pairwise Jaccard over shared-shingle candidates
+                   (the oracle for minhash).
+  * embedding cosine — near-dup pairs above a cosine threshold (brute or
+                   LSH-bucketed; see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.functions.text import normalize_text, shingles
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str, normalize: bool = True) -> DataFrame:
+    """(content_hash, n_docs, doc_ids) for groups with n_docs > 1."""
+    src = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = df.select(F.col(id_col).alias("id"), F.sha2(src.cast("binary"), 256).alias("content_sha"))
+    return (
+        hashed.groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str, normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id document of each exact-content group. Uses
+    min_by-over-groupBy + semi join (no window over the full table: the
+    aggregation gets map-side partial combine; a window would not)."""
+    src = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = df.withColumn("__sha", F.sha2(src.cast("binary"), 256))
+    keep = hashed.groupBy("__sha").agg(F.min(F.col(id_col)).alias(id_col))
+    return hashed.join(keep, [id_col, "__sha"], "left_semi").drop("__sha")
+
+
+# --------------------------------------------------------------------- #
+# minhash + LSH
+# --------------------------------------------------------------------- #
+def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3):
+    """array<bigint> minhash signature column: for seed j, the minimum of
+    xxhash64(shingle, j) over the document's shingles. One JVM projection,
+    no explode, no Python."""
+    sh = shingles(F.col(text_col), n=shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, n_shared_bands) that share ≥1 LSH band
+    bucket. rows_per_band = num_hashes/bands sets the similarity knee:
+    P(candidate) = 1-(1-s^r)^b."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("__sig")).filter(
+        F.col("__sig").isNotNull()
+    )
+    band_rows = with_sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("__sig"), b * r + 1, r)), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # bucket-join: pairs within the same (band, bucket)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Candidate generation: shared-shingle equi-join (every pair with Jaccard
+    > 0 shares ≥1 shingle, so this loses nothing) — or pass LSH candidates
+    in. Verification: exact |A∩B| / |A∪B| on distinct-shingle arrays."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n=shingle_n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+
+    if candidates is None:
+        ex = sh.select("id", F.explode("__sh").alias("s"))
+        candidates = (
+            ex.alias("a")
+            .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        candidates = candidates.select("id_a", "id_b")
+
+    joined = (
+        candidates.join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------- #
+# simhash
+# --------------------------------------------------------------------- #
+def simhash64(text_col: str) -> F.Column:
+    """64-bit Charikar simhash of the normalized token stream, entirely in
+    higher-order array expressions: per token, xxhash64 bits vote ±1 per bit
+    position; the fingerprint takes the sign of each position's sum."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))  # hash each token ONCE
+
+    def vote_for(i: int):
+        # closure (NOT a default arg: pyspark introspects lambda params and
+        # would turn a default into a third lambda variable)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    packed = F.lit(0).cast("long")
+    for i in range(64):  # python loop builds 64 JVM expressions, no per-row python
+        bit = F.when(vote_for(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(F.shiftleft(bit, i))
+    return packed
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
+    bucketed on each of the four 16-bit chunks (pigeonhole: any pair within
+    Hamming ≤ 3 agrees exactly on ≥1 chunk), then verified exactly."""
+    withsim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    # python loop (not a HOF lambda: shiftright needs a literal int)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            )
+            for i in range(4)
+        ]
+    )
+    chunks = withsim.select("id", "sim", F.explode(chunk_structs).alias("c")).select(
+        "id", "sim", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b"))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

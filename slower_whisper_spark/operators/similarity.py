@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * ``cosine_topk``        — brute-force exact top-k: broadcast the (small)
+    query set against the corpus, cosine via higher-order array functions
+    (JVM, no Python), rank per query. The exactness baseline.
+  * ``lsh_bucketed_topk``  — random-hyperplane LSH scale path: seeded
+    hyperplanes → sign-bit bucket key → candidates share a bucket in ≥1
+    table → exact cosine re-rank on the (much smaller) candidate set.
+    Recall < 1.0 by design; tested against the brute-force oracle.
+  * ``embedding_near_duplicates`` — pairs above a cosine threshold.
+
+At 100 TB the corpus side streams (no shuffle: the query set/hyperplanes are
+broadcast literals) and only candidates hit the re-rank join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a, b) -> F.Column:
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbours per query: (query_id, neighbor_id, cos, rank).
+
+    queries is expected to be small (broadcast); corpus streams."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_planes, dim)).astype(float)
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-bit bucket id for one table: packed int of sign(v·h_i)."""
+    vec = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i, h in enumerate(planes):
+        lit_h = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(F.when(_dot(vec, lit_h) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables, exact
+    cosine re-rank on candidates only."""
+    dim = len(corpus.select(vec_col).first()[0])
+    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        buckets = F.array(*[lsh_bucket_expr(vec_col, tables[t]) for t in range(n_tables)])
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    cb = bucketed(corpus, id_col, "neighbor_id")
+    qb = bucketed(queries, query_id_col, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
+    buckets + exact verification."""
+    tables = _hyperplanes(len(df.select(vec_col).first()[0]), n_planes, n_tables, seed)
+    buckets = F.array(*[lsh_bucket_expr(vec_col, tables[t]) for t in range(n_tables)])
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.table") == F.col("c.table"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("c.__v").alias("__vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

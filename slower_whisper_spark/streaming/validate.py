@@ -1,0 +1,78 @@
+"""Incremental (streaming) validation of a docs stream.
+
+The engine is batch-first (the north rule is a batch suite over a table);
+streaming carries over exactly the concepts SURVEY §2.9 maps:
+
+  * per-micro-batch suite evaluation via ``foreachBatch`` — each micro-batch
+    gets the same verdict/violation tables, appended to sinks with a
+    ``batch_id`` lineage column (the EventEnvelope/SessionStats analog).
+  * watermark + monotonicity: late rows beyond the watermark are dropped by
+    Spark itself; in-order violations are caught by the suite's rules.
+  * checkpointLocation gives exactly-once sink semantics — the streaming
+    twin of the batch checkpoint manifest (ref: replay buffer + RESUME_GAP,
+    transcription/streaming_ws.py:373-413,751-767).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.suite import ConstraintSuite
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    suite: ConstraintSuite,
+    *,
+    key_col: str = "url",
+    partition_col: str | None = None,
+    checkpoint_dir: str,
+    on_batch: Callable[[int, DataFrame, DataFrame], None],
+    violation_limit: int = 100,
+    trigger_once: bool = True,
+):
+    """Run ``suite`` on every micro-batch; ``on_batch(batch_id, verdicts,
+    violations)`` receives the per-batch results (both carry a batch_id
+    column). Returns the StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = suite.validate(
+            batch_df,
+            key_col=key_col,
+            partition_col=partition_col,
+            violation_limit=violation_limit,
+        )
+        verdicts = res.verdicts.withColumn("batch_id", F.lit(batch_id))
+        violations = res.violations.withColumn("batch_id", F.lit(batch_id))
+        on_batch(batch_id, verdicts, violations)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_lang_counts(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked windowed aggregation (late-data-tolerant lang mix) — the
+    streaming analog of the categorical-distribution stat."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n")
+    )

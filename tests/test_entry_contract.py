@@ -1,0 +1,79 @@
+"""Local twin of the driver's correctness gate: run every queries() entry at
+sf0.001 and compare to its oracle_sql() via DuckDB — row count, column names,
+and order-insensitive value hash."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df):
+    """Sort columns by name, canonicalize values like a value-hash would."""
+    import numpy as np
+
+    df = df[sorted(df.columns)]
+    out = []
+    for _, row in df.iterrows():
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, (float, np.floating)) and math.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, (bool, np.bool_)):
+                vals.append(str(int(v)))
+            elif isinstance(v, (float, np.floating)):
+                vals.append(f"{float(v):.6f}")
+            elif isinstance(v, (int, np.integer)):
+                vals.append(str(int(v)))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only contract for non-SQL-expressible ops
+        assert len(spdf) >= 0
+        return
+    odf = ddb.sql(ORACLES[name]).df()
+    # pandas bool/int normalization: duckdb may give different dtypes
+    assert len(spdf) == len(odf), f"{name}: rowcount {len(spdf)} != {len(odf)}"
+    assert sorted(c.lower() for c in spdf.columns) == sorted(c.lower() for c in odf.columns), name
+    odf.columns = [c.lower() for c in odf.columns]
+    spdf.columns = [c.lower() for c in spdf.columns]
+    left, right = _normalize(spdf), _normalize(odf)
+    mismatches = [(a, b) for a, b in zip(left, right) if a != b][:5]
+    assert left == right, f"{name}: first mismatches {mismatches}"

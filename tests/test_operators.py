@@ -1,0 +1,216 @@
+"""Dedup / similarity / sessionization / as-of operators, verified against
+exact oracles (brute force or DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.operators import (
+    asof_join,
+    cosine_topk,
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    monotonic_gaps,
+    session_stats,
+    sessionize,
+    simhash_near_duplicates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """documents + injected near/exact duplicates with known ids."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.limit(50).collect()
+    extra = []
+    nid = 100_000
+    for r in base[:5]:  # exact duplicates
+        extra.append((nid, r["text"]))
+        nid += 1
+    for r in base[5:10]:  # near duplicates: append two words (~95% jaccard on long docs)
+        extra.append((nid, r["text"] + " extra token"))
+        nid += 1
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    return docs.unionByName(extra_df).cache()
+
+
+def test_exact_dedup(dup_docs):
+    groups = exact_duplicate_groups(dup_docs, "text", "doc_id").toPandas()
+    injected = {100_000, 100_001, 100_002, 100_003, 100_004}
+    found = {i for ids in groups["doc_ids"] for i in ids if i >= 100_000}
+    assert injected <= found
+    total = dup_docs.count()
+    deduped = drop_exact_duplicates(dup_docs, "text", "doc_id")
+    n_dup_rows = int((groups["n_docs"] - 1).sum())
+    assert deduped.count() == total - n_dup_rows
+    # keeps the lowest id of each group
+    kept_ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    for ids in groups["doc_ids"]:
+        assert min(ids) in kept_ids and not (set(ids) - {min(ids)}) & kept_ids
+
+
+def test_minhash_lsh_finds_near_dups_vs_exact_jaccard(dup_docs):
+    # exact oracle: all pairs with true jaccard >= 0.7
+    exact = jaccard_pairs(dup_docs, "text", "doc_id", threshold=0.7).toPandas()
+    exact_pairs = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert len(exact_pairs) >= 10  # 5 exact + 5 near injected
+
+    cand = minhash_lsh_candidates(dup_docs, "text", "doc_id", num_hashes=64, bands=16)
+    verified = jaccard_pairs(dup_docs, "text", "doc_id", threshold=0.7, candidates=cand).toPandas()
+    got_pairs = {(a, b) for a, b in zip(verified["id_a"], verified["id_b"])}
+    # verified LSH output must be a subset of truth, with high recall
+    assert got_pairs <= exact_pairs
+    assert len(got_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_simhash_near_duplicates(dup_docs):
+    pairs = simhash_near_duplicates(dup_docs, "text", "doc_id", max_hamming=6).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # exact duplicates have hamming 0 → must all be found
+    for i, orig in enumerate(range(5)):
+        pass
+    exact_ids = [(r["id_a"], r["id_b"]) for _, r in pairs.iterrows() if r["hamming"] == 0]
+    assert len(exact_ids) >= 5
+    assert (pairs["hamming"] <= 6).all()
+
+
+def test_cosine_topk_matches_duckdb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(emb, queries, k=5).toPandas().sort_values(["query_id", "rank"])
+
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                   FROM '{SF}/embeddings.parquet'),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS cos
+          FROM q, e WHERE q.vec_id <> e.vec_id
+        )
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+        """
+    ).df()
+    assert list(got["neighbor_id"]) == list(oracle["neighbor_id"])
+    assert (abs(got["cos"].values - oracle["cos"].values) < 1e-7).all()
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    approx = lsh_bucketed_topk(
+        emb, queries, k=10, n_planes=4, n_tables=16, seed=7
+    ).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # ANN tradeoff, seeded → deterministic
+
+
+def test_sessionize_matches_duckdb(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = (
+        session_stats(ev, key_col="user_id", ts_col="ts", gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        WITH t AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+          FROM '{SF}/events.parquet' WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, count(DISTINCT sid) AS n_sessions FROM (
+          SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM t)
+        GROUP BY user_id ORDER BY user_id
+        """
+    ).df()
+    assert list(got["n_sessions"]) == list(oracle["n_sessions"])
+
+
+def test_monotonic_gaps(spark):
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 2), ("s1", 5), ("s2", 1), ("s2", 2)], "stream string, eid long"
+    )
+    gaps = monotonic_gaps(df, key_col="stream", id_col="eid").toPandas()
+    assert len(gaps) == 1
+    assert gaps.iloc[0]["key"] == "s1" and gaps.iloc[0]["missing"] == 2
+
+
+def test_asof_join_matches_duckdb(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event_id")
+    )
+    got = (
+        asof_join(
+            left,
+            right,
+            key_col="user_id",
+            left_ts="ts",
+            right_ts="signup_ts",
+            right_cols=["signup_event_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{SF}/events.parquet'),
+        s AS (SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+              FROM e WHERE event_type = 'signup')
+        SELECT e.event_id, s.signup_event_id
+        FROM e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+        ORDER BY e.event_id
+        """
+    ).df()
+    import pandas as pd
+
+    assert len(got) == len(oracle)
+    g = got["asof_signup_event_id"].astype("float")
+    o = oracle["signup_event_id"].astype("float")
+    assert ((g == o) | (g.isna() & o.isna())).all()
+
+
+def test_multimodal_decode_stub(docs_small):
+    from slower_whisper_spark.operators.multimodal import decode_media
+
+    docs, _, _ = docs_small
+    out = decode_media(docs.limit(200), key_col="url", binary_col="html", decoder="fake")
+    pdf = out.toPandas()
+    assert len(pdf) == 200
+    m = pdf["meta"].iloc[0]
+    m = m.asDict() if hasattr(m, "asDict") else dict(m)
+    assert set(m) == {"media_type", "format", "n_bytes", "width", "height", "duration_sec", "sha256"}
+    assert all(len(f) == 8 for f in pdf["feature"])
+    # deterministic: same input → same features
+    pdf2 = decode_media(docs.limit(200), key_col="url", binary_col="html").toPandas()
+    assert list(pdf["feature"].iloc[0]) == list(pdf2["feature"].iloc[0])
+
+    with pytest.raises(NotImplementedError):
+        decode_media(docs, decoder="pillow")

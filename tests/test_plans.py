@@ -1,0 +1,84 @@
+"""Performance-contract tests: assert the PHYSICAL PLAN, not just answers.
+
+Would this survive 100×? Only if filters reach the scan, projections prune
+columns, dims broadcast, and rules fuse into codegen — so we test exactly
+that (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from slower_whisper_spark import ConstraintSuite, ForeignKey, NotNull, Pattern
+from slower_whisper_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_ids,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, docs_small, tmp_path_factory):
+    docs, _, _ = docs_small
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    docs.write.mode("overwrite").partitionBy("warc_day").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_pushdown_reaches_scan(docs_parquet):
+    q = docs_parquet.filter(F.col("lang") == "en").select("url")
+    pf = pushed_filters(q)
+    assert any("lang" in f for f in pf), pf
+
+
+def test_column_pruning_narrow_scan(docs_parquet):
+    """A suite referencing url+lang must NOT read html/text from parquet."""
+    suite = ConstraintSuite("narrow", [NotNull("url"), Pattern("lang", "^[a-z]{2}$")])
+    wide = docs_parquet.groupBy("warc_day").agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[r.fail_count_expr() for r in suite.row_rules],
+    )
+    cols = read_schema_columns(wide)
+    assert "html" not in cols and "text" not in cols, cols
+    assert "url" in cols and "lang" in cols
+
+
+def test_stats_profile_prunes_to_profiled_columns(docs_parquet):
+    from slower_whisper_spark.stats import profile
+
+    st = profile(docs_parquet, partition_col="warc_day", columns=["lang"])
+    cols = read_schema_columns(st)
+    assert "html" not in cols and "text" not in cols, cols
+
+
+def test_refint_join_broadcasts(docs_parquet, docs_small):
+    _, _, ref = docs_small
+    rule = ForeignKey("parse_url(url, 'HOST')", ref, "host")
+    viol = rule._violating_rows(docs_parquet, "url", "warc_day")
+    assert has_broadcast_join(viol)
+
+
+def test_row_rules_stay_in_codegen(docs_parquet, spark):
+    """Rule predicates must fuse into whole-stage codegen. AQE hides codegen
+    annotations on unfinalized plans, so probe with AQE off — the codegen
+    compatibility of the expressions is what's under test."""
+    suite = ConstraintSuite("cg", [NotNull("url"), Pattern("lang", "^[a-z]{2}$")])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        wide = docs_parquet.groupBy("warc_day").agg(
+            F.count(F.lit(1)).alias("rows"), *[r.fail_count_expr() for r in suite.row_rules]
+        )
+        assert len(wholestage_codegen_ids(wide)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partition_pruning_on_day_filter(docs_parquet):
+    q = docs_parquet.filter(F.col("warc_day") == "2026-07-05")
+    from slower_whisper_spark.plans import explain_str
+
+    s = explain_str(q)
+    # partition filters appear as PartitionFilters on the scan node
+    assert "PartitionFilters" in s and "warc_day" in s.split("PartitionFilters", 1)[1][:200]
