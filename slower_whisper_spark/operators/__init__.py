@@ -4,8 +4,10 @@ from slower_whisper_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signature,
+    minhash_signatures_df,
     simhash64,
     simhash_near_duplicates,
+    simhash_signatures_df,
 )
 from slower_whisper_spark.operators.sessionize import (
     adjacent_pairs,
@@ -26,8 +28,10 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_signature",
+    "minhash_signatures_df",
     "simhash64",
     "simhash_near_duplicates",
+    "simhash_signatures_df",
     "adjacent_pairs",
     "asof_join",
     "monotonic_gaps",

@@ -24,7 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from slower_whisper_spark.functions.text import normalize_text, shingles
+from slower_whisper_spark.functions.text import normalize_text, shingle_rows, shingles
+
+
+def _fanned_out(df: DataFrame) -> DataFrame:
+    """Local-mode guard: a single small parquet file reads as ONE task; fan
+    rows out so hash-heavy per-row work parallelizes. On a real multi-file
+    table this shuffle is skipped."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, "id")
+    return df
 
 
 # --------------------------------------------------------------------- #
@@ -68,6 +78,31 @@ def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3):
     return F.when(F.size(sh) > 0, sig)
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, __sig array<bigint>) via explode → groupBy with one MIN aggregate
+    per seed. The column-expression form (``minhash_signature``) duplicates
+    the whole shingle-construction tree per hash — 64 copies blow past
+    codegen limits and run interpreted. Exploding materializes each shingle
+    ONCE; the 64 minima are plain partial-aggregable MIN()s (map-side
+    combine, shuffles only |ids|×1 rows)."""
+    narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+    sh = shingle_rows(narrow, "id", "__txt", n=shingle_n).withColumnRenamed("shingle", "__s")
+    aggs = [
+        F.min(F.xxhash64(F.col("__s"), F.lit(j))).alias(f"__m{j}") for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("__sig"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -75,17 +110,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, n_shared_bands) that share ≥1 LSH band
     bucket. rows_per_band = num_hashes/bands sets the similarity knee:
-    P(candidate) = 1-(1-s^r)^b."""
+    P(candidate) = 1-(1-s^r)^b. Buckets larger than max_bucket_size are
+    dropped (non-discriminative band values — the standard LSH guard against
+    candidate-pair blowup on low-entropy corpora)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("__sig")).filter(
-        F.col("__sig").isNotNull()
-    )
+    with_sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
     band_rows = with_sig.select(
         "id",
         F.explode(
@@ -98,6 +133,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # band_rows feeds three consumers (bucket sizes, both join sides):
+    # persist so the signature agg runs once
+    band_rows = band_rows.persist()
+
+    # drop giant buckets before the self-join (two-phase count, small output)
+    if max_bucket_size:
+        bucket_sizes = band_rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        small = bucket_sizes.filter(F.col("__n") <= max_bucket_size).drop("__n")
+        band_rows = band_rows.join(small, ["band", "bucket"], "left_semi")
 
     # bucket-join: pairs within the same (band, bucket)
     a = band_rows.alias("a")
@@ -122,19 +166,29 @@ def jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Candidate generation: shared-shingle equi-join (every pair with Jaccard
     > 0 shares ≥1 shingle, so this loses nothing) — or pass LSH candidates
-    in. Verification: exact |A∩B| / |A∪B| on distinct-shingle arrays."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n=shingle_n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    in. Verification: exact |A∩B| / |A∪B| on distinct-shingle arrays.
+    ``max_df`` drops shingles occurring in more than that many docs from
+    candidate generation (stop-shingle pruning; bounds the self-join on
+    low-entropy corpora — verification stays exact)."""
+    narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+    rows = shingle_rows(narrow, "id", "__txt", n=shingle_n).dropDuplicates(["id", "shingle"])
+    sh = rows.groupBy("id").agg(F.collect_list("shingle").alias("__sh"))
 
     if candidates is None:
-        ex = sh.select("id", F.explode("__sh").alias("s"))
+        ex = rows.withColumnRenamed("shingle", "s")
+        if max_df:
+            rare = (
+                ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df)
+                .drop("__df")
+            )
+            ex = ex.join(rare, "s", "left_semi")
         candidates = (
             ex.alias("a")
             .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -190,13 +244,33 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sim) simhash via explode → groupBy: per token one xxhash64, then
+    64 partial-aggregable bit-vote SUMs — avoids duplicating the tokenizer
+    expression per bit (same blowup as the inline minhash form)."""
+    narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+    hashed = narrow.select(
+        "id", F.explode(F.split(normalize_text(F.col("__txt")), " ")).alias("__t")
+    ).select("id", F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
+        for i in range(64)
+    ]
+    votes = hashed.groupBy("id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(F.shiftleft(bit, i))
+    return votes.select("id", packed.alias("sim"))
+
+
 def simhash_near_duplicates(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
     bucketed on each of the four 16-bit chunks (pigeonhole: any pair within
     Hamming ≤ 3 agrees exactly on ≥1 chunk), then verified exactly."""
-    withsim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    withsim = simhash_signatures_df(df, text_col, id_col)
     # python loop (not a HOF lambda: shiftright needs a literal int)
     chunk_structs = F.array(
         *[

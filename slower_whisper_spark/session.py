@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide aggs (64-min minhash signatures, multi-column stats profiles)
+        # must stay in whole-stage codegen; default maxFields=100 silently
+        # drops them to interpreted mode (~10-30x slower)
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -60,6 +60,7 @@ def profile(
     columns: list[str] | None = None,
     quantiles: tuple[float, ...] = (0.5, 0.95),
     include_sketches: bool = False,
+    quantile_accuracy: int = 1000,
 ) -> DataFrame:
     """One wide agg → long-format stats table.
 
@@ -102,7 +103,7 @@ def profile(
             F.max(ordered).cast("string").alias(f"max__{n}"),
             F.avg(num).alias(f"mean__{n}"),
             F.stddev_samp(num).alias(f"stddev__{n}"),
-            F.percentile_approx(num, list(quantiles), 10_000).alias(f"q__{n}"),
+            F.percentile_approx(num, list(quantiles), quantile_accuracy).alias(f"q__{n}"),
         ]
         if p.distinct:
             # hll_sketch_agg accepts int/bigint/string/binary only
