@@ -40,8 +40,11 @@ def _sf_from_dir(sf_dir: str) -> str:
 
 
 def ensure_webtext(sf: str, spark) -> dict[str, str]:
-    """Build (once, cached) the synthetic webtext tables for this sf."""
-    n_rows = SF_ROWS.get(sf, 1_000_000)
+    """Build (once, cached) the synthetic webtext tables for this sf.
+    SWS_BENCH_ROWS overrides the row count (the scaling protocol uses a
+    larger table so fixed costs — codegen compile, Bloom build, job setup —
+    amortize and the measurement reflects scan/agg work)."""
+    n_rows = int(os.environ.get("SWS_BENCH_ROWS", 0)) or SF_ROWS.get(sf, 1_000_000)
     out_dir = os.path.join(BENCH_CACHE, f"webtext_sf{sf}_n{n_rows}")
     marker = os.path.join(out_dir, "_DONE")
     paths = {
@@ -106,21 +109,22 @@ def build_suite(spark, paths):
 def run_suite_bench(spark, paths) -> dict:
     from pyspark.sql import functions as F
 
-    from slower_whisper_spark.stats import profile
-
     docs = spark.read.parquet(paths["docs"]).withColumn("text_len", F.length("text"))
     suite = build_suite(spark, paths)
 
     t0 = time.monotonic()
-    res = suite.validate(docs, key_col="url", partition_col="warc_day", violation_limit=100)
+    res = suite.validate(
+        docs,
+        key_col="url",
+        partition_col="warc_day",
+        violation_limit=100,
+        stats_columns=["url", "warc_ts", "html", "text", "lang"],
+    )
     verd = res.verdicts.collect()
     n_viol = res.violations.count()
-    stats = profile(
-        docs, partition_col="warc_day", columns=["url", "warc_ts", "html", "text", "lang"]
-    ).collect()
+    stats = res.stats.collect()
     wall = time.monotonic() - t0
 
-    rows = max(r["rows"] for r in verd) if verd else 0
     rows = sum({r["partition"]: r["rows"] for r in verd}.values())
     return {
         "wall_sec": wall,
@@ -179,7 +183,7 @@ def main() -> None:
     spark.read.parquet(paths["docs"]).limit(1).count()
 
     suite_metrics = run_suite_bench(spark, paths)
-    queries = run_query_bench(spark, sf_dir)
+    queries = {} if os.environ.get("SWS_BENCH_SKIP_QUERIES") else run_query_bench(spark, sf_dir)
 
     print(
         json.dumps(
@@ -205,6 +209,8 @@ def scaling_main() -> None:
     for n in (8, 32):
         env = dict(os.environ)
         env["SWS_BENCH_MASTER"] = f"local[{n}]"
+        env.setdefault("SWS_BENCH_ROWS", "4000000")
+        env.setdefault("SWS_BENCH_SKIP_QUERIES", "1")
         env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -236,14 +242,14 @@ at two parallelism levels — the sandbox proxy for N vs 4N executors.
 
 **Scaling efficiency (throughput@32 / throughput@8) / 4 = {eff:.3f}**
 (target ≥ 0.8)
-
-Per-query timings at local[32], sf={results[32]['sf']}:
-
-| query | sec |
-|---|---|
 """
-            + "\n".join(f"| {k} | {v} |" for k, v in results[32]["queries"].items())
-            + "\n"
+            + (
+                "\nPer-query timings at local[32], sf=" + str(results[32]["sf"]) + ":\n\n| query | sec |\n|---|---|\n"
+                + "\n".join(f"| {k} | {v} |" for k, v in results[32]["queries"].items())
+                + "\n"
+                if results[32]["queries"]
+                else ""
+            )
         )
     print(f"scaling efficiency: {eff:.3f} → BENCH.md")
 

@@ -18,6 +18,7 @@ lives in the checkpoint manifest (mergeable across runs by summing counts).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -122,6 +123,102 @@ class Drift(TableRule):
             "baseline": self.baseline.to_dict(),
             "rule_id": self.rule_id,
         }
+
+    # ------------------------------------------------------------------ #
+    # fold-into-scan path: bucket counts become pass-1 aggregates; PSI/KS
+    # are then pure projections over the (tiny, cached) wide row — the
+    # drift check costs ZERO extra scans of the table.
+    # ------------------------------------------------------------------ #
+    def _bucket_ids(self) -> list[int]:
+        b = self.baseline
+        if b.kind == "hist":
+            return list(range(len(b.counts)))  # width_bucket: 0..n+1
+        ids = list(range(len(b.categories)))
+        return ids + [-1]  # -1 = unseen category
+
+    def _row_bucket_expr(self):
+        b = self.baseline
+        if b.kind == "hist":
+            return F.width_bucket(
+                F.col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
+            )
+        known = F.col(self.column).cast("string")
+        cats = list(b.categories)
+        return (
+            F.when(known.isNull(), F.lit(cats.index("<NULL>") if "<NULL>" in cats else -1))
+            .otherwise(F.coalesce(F.array_position(F.lit(cats), known) - 1, F.lit(-1)))
+        )
+
+    def fold_agg_exprs(self) -> list:
+        bucket = self._row_bucket_expr()
+        return [
+            F.sum(F.when(bucket == F.lit(i), 1).otherwise(0)).alias(f"drift__{self.rule_id}__{i}")
+            for i in self._bucket_ids()
+        ]
+
+    def fold_verdict(self, wide: DataFrame) -> DataFrame:
+        """Compute the per-partition verdict from the wide pass-1 row.
+
+        Intermediates (total, per-bucket probabilities, KS cumulative sums)
+        are materialized as NAMED columns step by step — inlining them would
+        nest each cumulative sum inside the next and blow the expression
+        tree up quadratically (Catalyst analysis then takes minutes for a
+        20-bucket histogram)."""
+        ids = self._bucket_ids()
+        base_counts = {i: float(c) for i, c in enumerate(self.baseline.counts)}
+        if self.baseline.kind == "cat":
+            base_counts[-1] = 0.0
+        qtot = sum(base_counts.values()) or 1.0
+
+        cnt_cols = [F.col(f"drift__{self.rule_id}__{i}").cast("double") for i in ids]
+        w = wide.select("partition", *[c.alias(f"__c{k}") for k, c in enumerate(cnt_cols)])
+        total = reduce(lambda a, b: a + b, [F.col(f"__c{k}") for k in range(len(ids))])
+        w = w.withColumn("__tot", total)
+        w = w.select(
+            "partition",
+            "__tot",
+            *[
+                ((F.col(f"__c{k}") + _EPS) / (F.col("__tot") + _EPS)).alias(f"__p{k}")
+                for k in range(len(ids))
+            ],
+        )
+
+        if self.metric == "psi":
+            contribs = []
+            for k, i in enumerate(ids):
+                q = (base_counts[i] + _EPS) / (qtot + _EPS)
+                p = F.col(f"__p{k}")
+                contribs.append((p - F.lit(q)) * F.log(p / F.lit(q)))
+            stat = reduce(lambda a, b: a + b, contribs)
+        else:  # ks over ascending bucket order, cumulative sums as columns
+            order = sorted(range(len(ids)), key=lambda k: ids[k])
+            cq = 0.0
+            diffs = []
+            prev = None
+            for step, k in enumerate(order):
+                name = f"__cp{step}"
+                cum = F.col(f"__p{k}") if prev is None else F.col(prev) + F.col(f"__p{k}")
+                w = w.withColumn(name, cum)
+                prev = name
+                cq += (base_counts[ids[k]] + _EPS) / (qtot + _EPS)
+                diffs.append(F.abs(F.col(name) - F.lit(cq)))
+            stat = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+
+        w = w.withColumn("__stat", stat)
+        small = F.col("__tot") < F.lit(float(self.min_rows))
+        return w.select(
+            F.col("partition"),
+            F.lit(self.rule_id).alias("rule_id"),
+            (small | (F.col("__stat") <= F.lit(self.threshold))).alias("passed"),
+            F.lit(0).cast("long").alias("violations"),
+            F.when(
+                small,
+                F.concat(F.lit("skipped: n="), F.col("__tot").cast("long").cast("string"), F.lit(f" < min_rows={self.min_rows}")),
+            )
+            .otherwise(F.concat(F.lit(f"{self.metric}="), F.round(F.col("__stat"), 6).cast("string")))
+            .alias("observed"),
+            F.lit(f"{self.metric} <= {self.threshold}").alias("expected"),
+        )
 
     def _bucketed(self, df: DataFrame, partition_col: str) -> DataFrame:
         b = self.baseline

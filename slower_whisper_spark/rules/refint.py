@@ -86,6 +86,46 @@ class ForeignKey(TableRule):
             "rule_id": self.rule_id,
         }
 
+    @property
+    def foldable(self) -> bool:
+        """Bloom mode compiles to a per-row predicate → the suite folds it
+        into the single pass-1 scan (no separate job)."""
+        return self.mode == "bloom"
+
+    def _build_bloom_udf(self, spark):
+        """Build Bloom bits from the dimension (driver-side stream, never a
+        full collect of the fact side) → vectorized membership UDF."""
+        dim_hashed = self.dim_df.select(F.xxhash64(F.col(self.dim_col)).alias("h")).distinct()
+        n = dim_hashed.count()
+        m, k = _bloom_params(n, self.fp_rate)
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for batch in dim_hashed.toArrow().to_batches():
+            vals = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = _bloom_hashes(vals, m, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        bc = spark.sparkContext.broadcast((bits, m, k))
+
+        from slower_whisper_spark.functions.vectorized import make_bloom_might_contain
+
+        return make_bloom_might_contain(bc)
+
+    def row_predicate(self, df: DataFrame):
+        """Boolean pass-predicate Column for bloom mode (fold-into-scan)."""
+        might_contain = self._build_bloom_udf(df.sparkSession)
+        fk = F.expr(self.fk_expr)
+        ok = might_contain(F.xxhash64(fk))
+        if self.allow_null:
+            return F.when(fk.isNull(), F.lit(True)).otherwise(ok)
+        return F.when(fk.isNull(), F.lit(False)).otherwise(ok)
+
+    def fold_observed(self):
+        from slower_whisper_spark.rules.base import _str
+
+        return _str(F.expr(self.fk_expr))
+
+    def fold_expected(self):
+        return F.lit(f"member of dim.{self.dim_col}")
+
     def _violating_rows(self, df: DataFrame, key_col: str, partition_col: str) -> DataFrame:
         fk = F.expr(self.fk_expr)
         fact = df.select(
@@ -103,23 +143,7 @@ class ForeignKey(TableRule):
         return fact.join(F.broadcast(dim), "__fk", "left_anti")
 
     def _bloom_filter_misses(self, fact: DataFrame) -> DataFrame:
-        spark = fact.sparkSession
-        # hash the dimension keys distributedly; stream uint64 hashes back
-        dim_hashed = (
-            self.dim_df.select(F.xxhash64(F.col(self.dim_col)).alias("h")).distinct()
-        )
-        n = dim_hashed.count()
-        m, k = _bloom_params(n, self.fp_rate)
-        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        for batch in dim_hashed.toArrow().to_batches():  # driver-side stream, dim-sized
-            vals = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
-            pos = _bloom_hashes(vals, m, k).ravel()
-            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-        bc = spark.sparkContext.broadcast((bits, m, k))
-
-        from slower_whisper_spark.functions.vectorized import make_bloom_might_contain
-
-        might_contain = make_bloom_might_contain(bc)
+        might_contain = self._build_bloom_udf(fact.sparkSession)
         hashed = fact.withColumn("__h", F.xxhash64(F.col("__fk")))
         return hashed.filter(~might_contain(F.col("__h"))).drop("__h")
 

@@ -53,34 +53,17 @@ def _profiles_for(df: DataFrame, columns: list[str] | None) -> list[ColumnProfil
     return out
 
 
-def profile(
+def stat_agg_exprs(
     df: DataFrame,
-    *,
-    partition_col: str | None = None,
-    columns: list[str] | None = None,
+    profiles: list[ColumnProfile],
     quantiles: tuple[float, ...] = (0.5, 0.95),
-    include_sketches: bool = False,
     quantile_accuracy: int = 1000,
-) -> DataFrame:
-    """One wide agg → long-format stats table.
-
-    Output: (partition, column, dtype, rows, nulls, null_rate, min, max,
-    mean, stddev, p50.., approx_distinct[, hll_sketch_b64]).
-
-    String/binary columns are profiled on their LENGTH for the numeric
-    moments (the webtext table's text/html stats are length distributions);
-    min/max of strings stay lexical.
-    """
-    profiles = _profiles_for(df, columns)
-    if not profiles:
-        raise ValueError("no columns to profile")
-
-    pcol = partition_col or "__all"
-    if partition_col is None:
-        df = df.withColumn("__all", F.lit("ALL"))
-
+) -> list:
+    """Aggregate expressions for a stats profile — exposed separately so
+    ConstraintSuite can fold them into its pass-1 scan (ONE scan computes
+    rule fail-counts AND column stats)."""
     by_type = {f.name: f.dataType for f in df.schema.fields}
-    aggs = [F.count(F.lit(1)).alias("rows")]
+    aggs = []
     for p in profiles:
         c = F.col(p.column)
         dt = by_type[p.column]
@@ -112,12 +95,17 @@ def profile(
             else:
                 sk_src = c.cast("string")
             aggs.append(F.hll_sketch_agg(sk_src, 14).alias(f"hll__{n}"))
+    return aggs
 
-    wide = df.groupBy(F.col(pcol).cast("string").alias("partition")).agg(*aggs)
 
-    # unpivot driver-side schema-wise (stays one Spark job; just a projection
-    # per column unioned — each reads from the cached wide result)
-    wide = wide.cache()
+def unpivot_stats(
+    wide: DataFrame,
+    profiles: list[ColumnProfile],
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    include_sketches: bool = False,
+) -> DataFrame:
+    """Long-format stats from a (cached) wide agg row. Pure projections —
+    no extra scan of the source table."""
     parts = []
     for p in profiles:
         n = p.column
@@ -144,6 +132,39 @@ def profile(
     for x in parts[1:]:
         out = out.unionByName(x)
     return out
+
+
+def profile(
+    df: DataFrame,
+    *,
+    partition_col: str | None = None,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    include_sketches: bool = False,
+    quantile_accuracy: int = 1000,
+) -> DataFrame:
+    """One wide agg → long-format stats table.
+
+    Output: (partition, column, dtype, rows, nulls, null_rate, min, max,
+    mean, stddev, p50.., approx_distinct[, hll_sketch_b64]).
+
+    String/binary columns are profiled on their LENGTH for the numeric
+    moments (the webtext table's text/html stats are length distributions);
+    min/max of strings stay lexical.
+    """
+    profiles = _profiles_for(df, columns)
+    if not profiles:
+        raise ValueError("no columns to profile")
+
+    pcol = partition_col or "__all"
+    if partition_col is None:
+        df = df.withColumn("__all", F.lit("ALL"))
+
+    aggs = [F.count(F.lit(1)).alias("rows")] + stat_agg_exprs(
+        df, profiles, quantiles, quantile_accuracy=quantile_accuracy
+    )
+    wide = df.groupBy(F.col(pcol).cast("string").alias("partition")).agg(*aggs).cache()
+    return unpivot_stats(wide, profiles, quantiles, include_sketches)
 
 
 def merge_partition_sketches(stats_df: DataFrame) -> DataFrame:

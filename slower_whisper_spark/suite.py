@@ -49,6 +49,7 @@ class SuiteResult:
     suite_hash: str
     verdicts: DataFrame  # VERDICT_COLS
     violations: DataFrame  # VIOLATION_COLS
+    stats: DataFrame | None = None  # stats.unpivot_stats shape, when requested
 
     def partition_status(self) -> DataFrame:
         """Per-partition rollup with the reference's status vocabulary:
@@ -111,7 +112,14 @@ class ConstraintSuite:
         partition_col: str | None = None,
         violation_limit: int = 100,
         always_collect_violations: bool = False,
+        stats_columns: list[str] | None = None,
     ) -> SuiteResult:
+        """Evaluate the suite.
+
+        ``stats_columns``: fold a column-stats profile into the pass-1 scan
+        (count/null-rate/min/max/mean/stddev/quantiles/HLL) — the result
+        lands in ``SuiteResult.stats`` at zero extra scans.
+        """
         spark = df.sparkSession
         pcol = partition_col or "__all"
         if partition_col is None:
@@ -120,20 +128,53 @@ class ConstraintSuite:
         verdict_parts: list[DataFrame] = []
         violation_parts: list[DataFrame] = []
 
-        # ---- pass 1: one wide agg for all row rules -------------------- #
-        row_rules = self.row_rules
-        agg_exprs = [F.count(F.lit(1)).alias("rows")] + [r.fail_count_expr() for r in row_rules]
+        # ---- classify rules: row / folded-into-scan / standalone -------- #
+        row_rules: list = list(self.row_rules)
+        folded_fk: list = []
+        folded_drift: list = []
+        standalone: list = []
+        for rule in self.table_rules:
+            if getattr(rule, "foldable", False):
+                folded_fk.append(rule)
+            elif hasattr(rule, "fold_agg_exprs"):
+                folded_drift.append(rule)
+            else:
+                standalone.append(rule)
+
+        # bloom-FK rules compile to per-row predicates (pandas-UDF membership
+        # tests) and join the row-rule family for BOTH passes
+        fk_compiled = [(rule, rule.row_predicate(df)) for rule in folded_fk]
+
+        # ---- pass 1: ONE wide agg — rule fail counts + drift histograms
+        #      + column stats, all in a single scan ----------------------- #
+        agg_exprs = [F.count(F.lit(1)).alias("rows")]
+        agg_exprs += [r.fail_count_expr() for r in row_rules]
+        agg_exprs += [
+            F.sum(F.when(~pred, F.lit(1)).otherwise(F.lit(0))).alias(f"viol__{rule.rule_id}")
+            for rule, pred in fk_compiled
+        ]
+        for rule in folded_drift:
+            agg_exprs += rule.fold_agg_exprs()
+
+        stat_profiles = None
+        if stats_columns:
+            from slower_whisper_spark.stats import _profiles_for, stat_agg_exprs
+
+            stat_profiles = _profiles_for(df, stats_columns)
+            agg_exprs += stat_agg_exprs(df, stat_profiles)
+
         wide = df.groupBy(F.col(pcol).cast("string").alias("partition")).agg(*agg_exprs)
         wide = wide.cache()
         part_rows = wide.select("partition", "rows")
 
-        if row_rules:
+        counted_ids = [r.rule_id for r in row_rules] + [r.rule_id for r in folded_fk]
+        if counted_ids:
             stacked = wide.select(
                 "partition",
                 "rows",
                 F.expr(
-                    f"stack({len(row_rules)}, "
-                    + ", ".join(f"'{_sql_quote(r.rule_id)}', `viol__{r.rule_id}`" for r in row_rules)
+                    f"stack({len(counted_ids)}, "
+                    + ", ".join(f"'{_sql_quote(rid)}', `viol__{rid}`" for rid in counted_ids)
                     + ") as (rule_id, violations)"
                 ),
             )
@@ -150,19 +191,30 @@ class ConstraintSuite:
 
             # ---- pass 2: violation rows (only if something failed) ------ #
             total_viols = wide.select(
-                reduce(lambda a, b: a + b, [F.sum(f"viol__{r.rule_id}") for r in row_rules]).alias("t")
+                reduce(lambda a, b: a + b, [F.sum(f"viol__{rid}") for rid in counted_ids]).alias("t")
             ).first()["t"]
             if (total_viols or 0) > 0 or always_collect_violations:
                 structs = F.array(
-                    *[
-                        F.struct(
-                            F.lit(r.rule_id).alias("rule_id"),
-                            r.observed().alias("observed"),
-                            r.expected().alias("expected"),
-                            r.predicate().alias("ok"),
-                        )
-                        for r in row_rules
-                    ]
+                    *(
+                        [
+                            F.struct(
+                                F.lit(r.rule_id).alias("rule_id"),
+                                r.observed().alias("observed"),
+                                r.expected().alias("expected"),
+                                r.predicate().alias("ok"),
+                            )
+                            for r in row_rules
+                        ]
+                        + [
+                            F.struct(
+                                F.lit(rule.rule_id).alias("rule_id"),
+                                rule.fold_observed().alias("observed"),
+                                rule.fold_expected().alias("expected"),
+                                pred.alias("ok"),
+                            )
+                            for rule, pred in fk_compiled
+                        ]
+                    )
                 )
                 failed = F.filter(structs, lambda s: ~s["ok"])
                 exploded = (
@@ -184,8 +236,17 @@ class ConstraintSuite:
                 )
                 violation_parts.append(limited)
 
-        # ---- table rules ------------------------------------------------ #
-        for rule in self.table_rules:
+        # ---- folded drift verdicts: projections on the cached wide row -- #
+        for rule in folded_drift:
+            dv = rule.fold_verdict(wide).join(part_rows, "partition").select(
+                "partition", "rule_id", "passed",
+                F.col("rows").cast("long").alias("rows"),
+                "violations", "observed", "expected",
+            )
+            verdict_parts.append(dv)
+
+        # ---- standalone table rules (unique / join-based) ---------------- #
+        for rule in standalone:
             tv, tviol = rule.evaluate(
                 df, key_col=key_col, partition_col=pcol, violation_limit=violation_limit
             )
@@ -214,12 +275,20 @@ class ConstraintSuite:
             if violation_parts
             else spark.createDataFrame([], "key string, rule_id string, observed string, expected string")
         )
+
+        stats_df = None
+        if stat_profiles:
+            from slower_whisper_spark.stats import unpivot_stats
+
+            stats_df = unpivot_stats(wide, stat_profiles)
+
         return SuiteResult(
             suite_name=self.name,
             suite_version=self.version,
             suite_hash=self.suite_hash,
             verdicts=verdicts.select(*VERDICT_COLS),
             violations=violations.select(*VIOLATION_COLS),
+            stats=stats_df,
         )
 
 

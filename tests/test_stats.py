@@ -57,3 +57,21 @@ def test_profile_binary_column(docs_small):
     row = st.iloc[0]
     true_mean = docs.select(F.avg(F.length("html"))).first()[0]
     assert abs(row["mean"] - true_mean) < 1e-9
+
+
+def test_stats_folded_into_suite_pass1(docs_small):
+    """stats_columns folds the profile into the suite's single scan."""
+    from slower_whisper_spark import ConstraintSuite, NotNull
+
+    docs, _, _ = docs_small
+    res = ConstraintSuite("s", [NotNull("url")]).validate(
+        docs, key_col="url", partition_col="warc_day", stats_columns=["url", "lang"]
+    )
+    assert res.stats is not None
+    pdf = res.stats.toPandas()
+    n_parts = docs.select("warc_day").distinct().count()
+    assert len(pdf) == 2 * n_parts
+    direct = profile(docs, partition_col="warc_day", columns=["url", "lang"]).toPandas()
+    a = pdf.sort_values(["partition", "column"]).reset_index(drop=True)
+    b = direct.sort_values(["partition", "column"]).reset_index(drop=True)
+    assert (a["nulls"] == b["nulls"]).all() and (a["rows"] == b["rows"]).all()
