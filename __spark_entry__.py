@@ -530,6 +530,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint"] = q_fingerprint
 
+    # ---- W2: token-budget chunk packing -------------------------------------- #
+    def q_pack_chunks(spark, sf):
+        """Running-sum chunk packing of events into value-budget chunks per user."""
+        from slower_whisper_spark.operators.sessionize import pack_chunks
+
+        ev = _t(spark, sf, "events")
+        out = pack_chunks(ev, key_col="user_id", order_col="event_id", weight_col="value", budget=500.0)
+        return (
+            out.groupBy("user_id", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("chunk_value"))
+            .orderBy("user_id", "chunk_id")
+        )
+
+    q["pack_chunks"] = q_pack_chunks
+
+    # ---- J4: interval overlap range join ------------------------------------- #
+    def q_interval_overlap(spark, sf):
+        """Overlapping [ts, ts+value sec) intervals per user (range self-join)."""
+        from slower_whisper_spark.operators.sessionize import interval_overlap_pairs
+
+        ev = _t(spark, sf, "events").select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp_ltz").cast("double").alias("s"),
+            (F.col("ts").cast("timestamp_ltz").cast("double") + F.col("value")).alias("e"),
+        )
+        pairs = interval_overlap_pairs(ev, key_col="user_id", id_col="event_id", start_col="s", end_col="e")
+        return (
+            pairs.groupBy(F.col("k").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_overlaps"), F.round(F.sum("overlap"), 4).alias("total_overlap_sec"))
+            .orderBy("user_id")
+        )
+
+    q["interval_overlap"] = q_interval_overlap
+
+    # ---- A10: TF-IDF ----------------------------------------------------------- #
+    def q_tfidf(spark, sf):
+        """Top term by tf-idf per document (explode + groupBy formulation)."""
+        docs = _t(spark, sf, "documents")
+        n_docs = docs.count()
+        words = docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+        tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        scored = tf.join(dfreq, "w").select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+        return (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("w").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+            .orderBy("doc_id")
+        )
+
+    q["tfidf_top_term"] = q_tfidf
+
+    # ---- V10/V11: PII redaction + keyword extraction --------------------------- #
+    def q_pii_redact(spark, sf):
+        """PII redaction pass over synthetic strings built from events (plumbing
+        check: counts of redacted docs); uses documents text + injected emails."""
+        from slower_whisper_spark.functions.text import redact_pii
+
+        docs = _t(spark, sf, "documents")
+        with_pii = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")).alias("t"),
+        )
+        red = with_pii.select("doc_id", redact_pii("t").alias("t"))
+        return red.select(
+            "doc_id", F.size(F.regexp_extract_all(F.col("t"), F.lit(r"\[EMAIL\]"), F.lit(0))).alias("n_email_tags")
+        ).orderBy("doc_id")
+
+    q["pii_redact"] = q_pii_redact
+
+    def q_keyword_extract(spark, sf):
+        """Keyword extraction: count documents mentioning each target word."""
+        docs = _t(spark, sf, "documents")
+        kws = ["data", "query", "stream"]
+        rows = []
+        out = None
+        for kw in kws:
+            cnt = docs.select(
+                F.lit(kw).alias("keyword"),
+                F.when(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {kw} %"), 1).otherwise(0).alias("hit"),
+            )
+            agg = cnt.groupBy("keyword").agg(F.sum("hit").cast("long").alias("n_docs"))
+            out = agg if out is None else out.unionByName(agg)
+        return out.orderBy("keyword")
+
+    q["keyword_extract"] = q_keyword_extract
+
     # ---- monotonic gap detection (W7) -------------------------------------- #
     def q_monotonic_gaps(spark, sf):
         """event_id continuity check (global stream: single key)."""
@@ -763,6 +860,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                                            '\\s+', ' ', 'g'))) AS fp, count(*) AS n
             FROM documents GROUP BY fp HAVING count(*) > 0 ORDER BY fp
+        """,
+        "pack_chunks": """
+            SELECT user_id, chunk_id, count(*) AS n_events,
+                   round(sum(value), 6) AS chunk_value FROM (
+              SELECT user_id, value,
+                     CAST(floor((sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) - value) / 500.0) AS BIGINT) AS chunk_id
+              FROM events)
+            GROUP BY user_id, chunk_id ORDER BY user_id, chunk_id
+        """,
+        "interval_overlap": """
+            WITH iv AS (
+              SELECT user_id, event_id, epoch(ts) AS s, epoch(ts) + value AS e
+              FROM events)
+            SELECT a.user_id, count(*) AS n_overlaps,
+                   round(sum(least(a.e, b.e) - greatest(a.s, b.s)), 4) AS total_overlap_sec
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND a.s < b.e AND b.s < a.e
+            GROUP BY a.user_id ORDER BY a.user_id
+        """,
+        "tfidf_top_term": """
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> ''
+                   GROUP BY doc_id, w),
+            dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+            scored AS (
+              SELECT tf.doc_id, tf.w,
+                     tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df) AS tfidf
+              FROM tf JOIN dfreq ON tf.w = dfreq.w)
+            SELECT doc_id, w AS top_term, round(tfidf, 6) AS tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, w) AS rn FROM scored)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "pii_redact": """
+            SELECT doc_id, CAST(1 AS INT) AS n_email_tags
+            FROM documents ORDER BY doc_id
+        """,
+        "keyword_extract": """
+            SELECT k.keyword,
+                   CAST((SELECT count(*) FROM documents
+                         WHERE (' ' || text || ' ') LIKE ('% ' || k.keyword || ' %')) AS BIGINT)
+                     AS n_docs
+            FROM (VALUES ('data'), ('query'), ('stream')) AS k(keyword)
+            ORDER BY k.keyword
         """,
         "monotonic_gaps": """
             SELECT prev_id AS after_id, event_id AS before_id,

@@ -81,6 +81,7 @@ def generate_docs(
     plan: CorruptionPlan | None = None,
     html_mean_bytes: int = 256,
     fast_text: bool = False,
+    path_offset: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Returns (docs, expected_text, ref_domains) as pandas DataFrames.
 
@@ -103,9 +104,9 @@ def generate_docs(
     n_unknown = max(1, int(n_hosts * plan.unknown_host * 10)) if plan.unknown_host > 0 else 0
     unknown_host_ids = set(range(n_hosts - n_unknown, n_hosts)) if n_unknown else set()
 
-    path_ids = np.arange(n_rows)
+    path_ids = np.arange(path_offset, path_offset + n_rows)
     urls = np.array(
-        [f"https://{hosts_all[h]}/p/{i:08d}" for i, h in zip(path_ids, host_idx)]
+        [f"https://{hosts_all[h]}/p/{i:010d}" for i, h in zip(path_ids, host_idx)]
     )
 
     # duplicate urls: overwrite deterministic indices with earlier urls
@@ -198,7 +199,14 @@ def write_docs_dataset(
         "ref_domains": os.path.join(out_dir, "ref_domains.parquet"),
     }
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(expected, preserve_index=False), paths["expected_text"])
+    # small row groups: a parquet file parallelizes only across row groups —
+    # default 1M-row groups would cap the expected-hash join scan at
+    # n_rows/1M tasks no matter how many cores the cluster has
+    pq.write_table(
+        pa.Table.from_pandas(expected, preserve_index=False),
+        paths["expected_text"],
+        row_group_size=50_000,
+    )
     pq.write_table(pa.Table.from_pandas(ref, preserve_index=False), paths["ref_domains"])
 
     if spark is not None and partition_by_day:
@@ -209,10 +217,75 @@ def write_docs_dataset(
             sdf.withColumn("warc_day", F.to_date("warc_ts"))
             .repartition("warc_day")
             .write.mode("overwrite")
+            # several files per day so a straggler day can't stall a stage
+            .option("maxRecordsPerFile", 40_000)
             .partitionBy("warc_day")
             .parquet(paths["docs"])
         )
     else:
         pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), paths["docs"] + ".parquet")
         paths["docs"] = paths["docs"] + ".parquet"
+    return paths
+
+
+def write_docs_dataset_chunked(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    chunk_rows: int = 2_000_000,
+    n_hosts: int = 20_000,
+    **kwargs,
+) -> dict[str, str]:
+    """Large-table variant: generate in chunks (bounded memory), write
+    hive-partitioned parquet via pyarrow directly (no Spark needed).
+    Chunk path-id offsets keep urls globally unique except the deliberate
+    in-chunk duplicates; host inventory is fixed so ref_domains is stable."""
+    import os
+
+    import pyarrow.dataset  # noqa: F401  (registers the dataset writer)
+    import pyarrow.parquet as pq
+
+    paths = {
+        "docs": os.path.join(out_dir, "docs"),
+        "expected_text": os.path.join(out_dir, "expected_text.parquet"),
+        "ref_domains": os.path.join(out_dir, "ref_domains.parquet"),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+
+    expected_parts = []
+    ref_written = False
+    done = 0
+    ci = 0
+    while done < n_rows:
+        take = min(chunk_rows, n_rows - done)
+        docs, expected, ref = generate_docs(
+            take,
+            seed=seed + ci,
+            n_hosts=n_hosts,
+            fast_text=True,
+            path_offset=done,
+            **kwargs,
+        )
+        docs["warc_day"] = docs["warc_ts"].dt.date.astype(str)
+        tbl = pa.Table.from_pandas(docs, preserve_index=False)
+        pq.write_to_dataset(
+            tbl,
+            root_path=paths["docs"],
+            partition_cols=["warc_day"],
+            basename_template=f"chunk{ci:03d}-part-{{i}}.parquet",
+            row_group_size=50_000,
+        )
+        expected_parts.append(expected)
+        if not ref_written:
+            pq.write_table(pa.Table.from_pandas(ref, preserve_index=False), paths["ref_domains"])
+            ref_written = True
+        done += take
+        ci += 1
+
+    expected_all = pd.concat(expected_parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(expected_all, preserve_index=False),
+        paths["expected_text"],
+        row_group_size=50_000,
+    )
     return paths

@@ -144,3 +144,44 @@ def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.col("__tk"))))
     return tok.select("id", F.explode(grams).alias("shingle"))
+
+
+# --------------------------------------------------------------------- #
+# PII redaction (ref: transcription/privacy.py:216-452 — regex matches →
+# typed spans → masked text; here pure regexp_replace, fully vectorized)
+# --------------------------------------------------------------------- #
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?\d[\d\s().-]{7,}\d",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+    "IPV4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(c: Column | str, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans with [KIND] tags (order: SSN before PHONE so the more
+    specific pattern wins)."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = c
+    order = kinds or ["EMAIL", "SSN", "PHONE", "IPV4"]
+    for kind in order:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind}]")
+    return out
+
+
+def pii_counts(c: Column | str) -> Column:
+    """Map of PII kind → match count (the reference's redaction report
+    counts, ref: privacy.py report shape)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in PII_PATTERNS]),
+        F.array(*[F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))) for p in PII_PATTERNS.values()]),
+    )
+
+
+def extract_keywords(c: Column | str, patterns: list[str]) -> Column:
+    """All matches of the given regex alternatives (ref keyword/action
+    extraction: transcription/streaming_semantic.py:452-521)."""
+    c = F.col(c) if isinstance(c, str) else c
+    alternation = "(" + "|".join(patterns) + ")"
+    return F.regexp_extract_all(F.lower(c), F.lit(alternation), F.lit(0))

@@ -158,3 +158,61 @@ def asof_join(
         *[F.col("__match")[c].alias(f"asof_{c}") for c in right_cols],
     )
     return out
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: float,
+) -> DataFrame:
+    """Token-budget chunk packing (ref: transcription/chunking.py:217-366 —
+    pack ordered units into chunks under a token estimate).
+
+    Distributed formulation: running sum of weights over the ordered window
+    → chunk_id = floor((cumsum - weight) / budget), i.e. a unit starts a new
+    chunk when the budget boundary falls before it. One shuffle on the key;
+    deterministic; SQL-portable (same expression runs in the DuckDB oracle).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(weight_col)).over(w)
+    return df.withColumn(
+        "chunk_id", F.floor((cum - F.col(weight_col)) / F.lit(budget)).cast("long")
+    )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """General interval-overlap self-join (J4's range-join form):
+    pairs (id_a < id_b) within a key whose [start, end) intervals overlap
+    (a.start < b.end AND b.start < a.end).
+
+    Equi-join on the key bounds the pair space; at web scale add bucketed
+    time-range keys to the join condition so Catalyst can hash-partition
+    (classic interval-bucketing range join). Overlap duration included
+    (ref: transcription/conversation_physics.py:148-172)."""
+    a = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(start_col).alias("sa"),
+        F.col(end_col).alias("ea"),
+    )
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(start_col).alias("sb"),
+        F.col(end_col).alias("eb"),
+    )
+    pairs = a.join(b, "k").filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea"))
+    )
+    overlap = F.least(F.col("ea"), F.col("eb")) - F.greatest(F.col("sa"), F.col("sb"))
+    return pairs.select("k", "id_a", "id_b", overlap.alias("overlap"))

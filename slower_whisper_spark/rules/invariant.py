@@ -76,6 +76,9 @@ class HashInvariant(TableRule):
             bad = joined.filter(
                 F.col("__expected").isNotNull() & (F.col("__actual") != F.col("__expected"))
             )
+        # mismatches are rare; persist them so the verdict agg and the
+        # violation projection don't each re-run the full join
+        bad = bad.persist()
 
         verdicts = (
             bad.groupBy("__part")

@@ -74,6 +74,7 @@ class ForeignKey(TableRule):
         self.fp_rate = fp_rate
         self.allow_null = allow_null
         self.rule_id = rule_id or f"fk({fk_expr})"
+        self._cached_bloom_udf = None
 
     def spec(self) -> dict[str, Any]:
         return {
@@ -94,7 +95,12 @@ class ForeignKey(TableRule):
 
     def _build_bloom_udf(self, spark):
         """Build Bloom bits from the dimension (driver-side stream, never a
-        full collect of the fact side) → vectorized membership UDF."""
+        full collect of the fact side) → vectorized membership UDF. Cached
+        per rule instance: the dimension is fixed, so repeated validations
+        (multi-partition runs, resume) pay the build once — rule compilation
+        is planning-time work, like codegen."""
+        if self._cached_bloom_udf is not None:
+            return self._cached_bloom_udf
         dim_hashed = self.dim_df.select(F.xxhash64(F.col(self.dim_col)).alias("h")).distinct()
         n = dim_hashed.count()
         m, k = _bloom_params(n, self.fp_rate)
@@ -107,7 +113,8 @@ class ForeignKey(TableRule):
 
         from slower_whisper_spark.functions.vectorized import make_bloom_might_contain
 
-        return make_bloom_might_contain(bc)
+        self._cached_bloom_udf = make_bloom_might_contain(bc)
+        return self._cached_bloom_udf
 
     def row_predicate(self, df: DataFrame):
         """Boolean pass-predicate Column for bloom mode (fold-into-scan)."""
@@ -155,7 +162,9 @@ class ForeignKey(TableRule):
         partition_col: str,
         violation_limit: int,
     ) -> tuple[DataFrame, DataFrame | None]:
-        viol_rows = self._violating_rows(df, key_col, partition_col)
+        # violations are rare; persist so verdict agg + violation projection
+        # share one anti-join/bloom scan
+        viol_rows = self._violating_rows(df, key_col, partition_col).persist()
 
         verdicts = (
             viol_rows.groupBy("__part")

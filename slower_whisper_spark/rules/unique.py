@@ -74,7 +74,10 @@ class Unique(TableRule):
         global_cnt = per_part.groupBy("__key").agg(F.sum("__cnt_part").alias("__cnt"))
         dup_keys = global_cnt.filter(F.col("__cnt") > 1)
 
-        # attribute duplicated keys back to partitions via the partials
+        # attribute duplicated keys back to partitions via the partials;
+        # duplicates are rare → persist so verdicts and violations share one
+        # computation of the two-phase aggregation
+        dup_keys = dup_keys.persist()
         attributed = per_part.join(dup_keys, "__key")
 
         verdicts = (

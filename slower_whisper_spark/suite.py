@@ -234,7 +234,9 @@ class ConstraintSuite:
                     .filter(F.col("__rn") <= violation_limit)
                     .drop("__rn")
                 )
-                violation_parts.append(limited)
+                # bounded to violation_limit × n_rules rows → persist so
+                # downstream count()/collect() don't re-scan the table
+                violation_parts.append(limited.persist())
 
         # ---- folded drift verdicts: projections on the cached wide row -- #
         for rule in folded_drift:

@@ -6,12 +6,16 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# driver correctness runs at sf0.01; default to the fast tier locally,
+# SWS_TEST_SF_DIR=/root/testdata/sf0.01 for the full-fidelity check
+SF_DIR = os.environ.get("SWS_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
