@@ -294,10 +294,10 @@ show 4x from 8→32 threads. The 2→8 pair stays inside physical capacity and
 is the faithful proxy for adding 4x real executors to a cluster.
 """
             + (
-                "\nPer-query timings at local[32], sf=" + str(results[32]["sf"]) + ":\n\n| query | sec |\n|---|---|\n"
-                + "\n".join(f"| {k} | {v} |" for k, v in results[32]["queries"].items())
+                f"\nPer-query timings at local[{hi}], sf=" + str(results[hi]["sf"]) + ":\n\n| query | sec |\n|---|---|\n"
+                + "\n".join(f"| {k} | {v} |" for k, v in results[hi]["queries"].items())
                 + "\n"
-                if results[32]["queries"]
+                if results[hi]["queries"]
                 else ""
             )
         )
