@@ -26,7 +26,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # returning the per-partition verdict table
 # ===================================================================== #
 def entry(spark: SparkSession) -> DataFrame:
-    from slower_whisper_spark import ConstraintSuite, Enum, Expr, Length, NotNull, Pattern, Unique
+    from slower_whisper_spark import ConstraintSuite, Expr, Length, NotNull, Pattern, Unique
 
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents")
@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
             NotNull("doc_id"),
             NotNull("text", rule_id="not_null(text)"),
             Pattern("lang", LANG_RE),
-            Enum("source", [f"src{i}" for i in range(10)]),
+            Pattern("source", r"^src[0-9]+$", rule_id="pattern(source)"),
             Length("text", min=1),
             Expr("n_chars = length(text)", rule_id="n_chars_consistent", expected="n_chars == length(text)"),
             Unique("doc_id"),

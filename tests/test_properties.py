@@ -1,0 +1,49 @@
+"""Property-style invariants (SURVEY §5.8): results must not depend on
+physical layout — verdicts invariant under repartitioning; salted dedup
+equals naive dedup (also covered in test_table_rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slower_whisper_spark import ConstraintSuite, NotNull, Pattern, Unique
+
+LANG_RE = r"^[a-z]{2}(-[A-Z]{2})?$"
+
+
+def _suite():
+    return ConstraintSuite(
+        "prop", [NotNull("url"), Pattern("lang", LANG_RE), Unique("url")]
+    )
+
+
+def _verdict_key(res):
+    pdf = res.verdicts.toPandas().sort_values(["partition", "rule_id"]).reset_index(drop=True)
+    return list(zip(pdf["partition"], pdf["rule_id"], pdf["passed"], pdf["violations"]))
+
+
+def test_verdicts_invariant_under_repartitioning(docs_small):
+    docs, _, _ = docs_small
+    base = _suite().validate(docs, key_col="url", partition_col="warc_day")
+    k0 = _verdict_key(base)
+    for layout in [docs.repartition(3), docs.repartition(57, "lang"), docs.coalesce(1)]:
+        res = _suite().validate(layout, key_col="url", partition_col="warc_day")
+        assert _verdict_key(res) == k0
+
+
+def test_violations_set_invariant_under_repartitioning(docs_small):
+    docs, _, _ = docs_small
+    lim = 10_000
+    base = _suite().validate(docs, key_col="url", partition_col="warc_day", violation_limit=lim)
+    s0 = {tuple(r) for r in base.violations.toPandas().itertuples(index=False)}
+    res = _suite().validate(
+        docs.repartition(7), key_col="url", partition_col="warc_day", violation_limit=lim
+    )
+    s1 = {tuple(r) for r in res.violations.toPandas().itertuples(index=False)}
+    assert s0 == s1
+
+
+def test_suite_hash_independent_of_rule_construction_site(docs_small):
+    a = _suite()
+    b = _suite()
+    assert a.suite_hash == b.suite_hash
