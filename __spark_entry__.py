@@ -302,6 +302,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_customers"] = q_top_customers
 
+    def q_shipping_priority(spark, sf):
+        """TPC-H Q3-style: top 10 unshipped orders by revenue (3-way join +
+        agg + ordered limit)."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter((F.col("o_orderdate") < "1995-03-15") & (F.col("l_shipdate") > "1995-03-15"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["shipping_priority"] = q_shipping_priority
+
+    def q_local_supplier_volume(spark, sf):
+        """TPC-H Q5-style: revenue per nation where customer and supplier
+        share the nation (5-way join, broadcast dims)."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
+    q["local_supplier_volume"] = q_local_supplier_volume
+
     def q_distinct_users(spark, sf):
         """A11 exact distinct per group (HLL's oracle-checkable twin)."""
         ev = _t(spark, sf, "events")
@@ -768,6 +807,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY total_spent DESC, c_custkey LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
