@@ -189,11 +189,25 @@ class ConstraintSuite:
             )
             verdict_parts.append(row_verdicts)
 
-            # ---- pass 2: violation rows (only if something failed) ------ #
-            total_viols = wide.select(
-                reduce(lambda a, b: a + b, [F.sum(f"viol__{rid}") for rid in counted_ids]).alias("t")
-            ).first()["t"]
-            if (total_viols or 0) > 0 or always_collect_violations:
+            # ---- pass 2: violation rows (only if something failed, and only
+            #      over the partitions that failed — on a hive/Iceberg layout
+            #      the isin filter becomes file-level partition pruning, so a
+            #      mostly-clean 10^12-row table pays pass 2 only for its bad
+            #      partitions; ref first-N-errors: transcript_io.py:27-30) --- #
+            any_fail = reduce(
+                lambda a, b: a | b, [F.col(f"viol__{rid}") > 0 for rid in counted_ids]
+            )
+            failing_parts = [r["partition"] for r in wide.filter(any_fail).select("partition").collect()]
+            n_parts_total = wide.count()
+            if failing_parts or always_collect_violations:
+                scan = df
+                if (
+                    partition_col is not None
+                    and failing_parts
+                    and len(failing_parts) < n_parts_total
+                    and not always_collect_violations
+                ):
+                    scan = df.filter(F.col(pcol).cast("string").isin(failing_parts))
                 structs = F.array(
                     *(
                         [
@@ -218,7 +232,7 @@ class ConstraintSuite:
                 )
                 failed = F.filter(structs, lambda s: ~s["ok"])
                 exploded = (
-                    df.select(F.col(key_col).cast("string").alias("key"), failed.alias("__f"))
+                    scan.select(F.col(key_col).cast("string").alias("key"), failed.alias("__f"))
                     .filter(F.size("__f") > 0)
                     .select("key", F.explode("__f").alias("v"))
                     .select(
