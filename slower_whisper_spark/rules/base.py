@@ -79,7 +79,17 @@ class TableRule(Rule):
       violations long, observed string, expected string)
     * violations: DataFrame(key string, rule_id string, observed string,
       expected string) or None
+
+    ``persisted``: optional sink list — any DataFrame the rule persists must
+    be appended so SuiteResult.unpersist() can release it (streaming /
+    long-running drivers would otherwise leak storage).
+
+    ``cross_partition``: True ⇒ the rule's verdict depends on rows OUTSIDE a
+    single partition (Unique). On resumed/pruned runs the suite feeds such
+    rules the unpruned table.
     """
+
+    cross_partition: bool = False
 
     @abstractmethod
     def evaluate(
@@ -89,6 +99,7 @@ class TableRule(Rule):
         key_col: str,
         partition_col: str,
         violation_limit: int,
+        persisted: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         ...
 
@@ -96,3 +107,20 @@ class TableRule(Rule):
 def _str(col: Column) -> Column:
     """Null-safe cast-to-string for observed/expected projections."""
     return F.coalesce(col.cast("string"), F.lit("NULL"))
+
+
+def content_fingerprint(df: DataFrame, cols: list[str]) -> str:
+    """Cheap content identity of a reference-side table: row count + an
+    order-independent XOR of xxhash64 over the projected columns (count
+    disambiguates XOR's pair-cancellation). One aggregate-only job.
+
+    Rules whose verdict depends on a second table (ForeignKey.dim_df,
+    HashInvariant.expected_df) fold this into spec() so the suite hash — and
+    therefore checkpoint validity — changes when the REFERENCE data changes,
+    not just the rule parameters. Mirrors the reference lockfile hashing
+    actual content (ref: transcription/schema/integrity.py:222-335)."""
+    hashed = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("__h"))
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("x")
+    ).first()
+    return f"{row['n']}:{row['x']}"

@@ -258,6 +258,7 @@ class Drift(TableRule):
         key_col: str,
         partition_col: str,
         violation_limit: int,
+        persisted: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         spark = df.sparkSession
         cur = self._bucketed(df, partition_col)

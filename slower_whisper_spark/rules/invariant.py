@@ -32,21 +32,37 @@ class HashInvariant(TableRule):
         expected_hash_col: str = "text_sha256",
         rule_id: str | None = None,
         missing_is_violation: bool = False,
+        expected_version: str | None = None,
     ):
+        """``expected_version``: identity of the expected-hash table's
+        CONTENT, folded into spec() → suite_hash → checkpoint validity.
+        Pass a version string when the caller tracks it (e.g. an Iceberg
+        snapshot id — free); otherwise it is fingerprinted once lazily
+        (count + xor-hash aggregate, one job) on first spec() use. Without
+        this a changed expected table would leave checkpointed partitions
+        'done' and never re-validated."""
         self.column = column
         self.expected_df = expected_df
         self.expected_key = expected_key
         self.expected_hash_col = expected_hash_col
         self.missing_is_violation = missing_is_violation
         self.rule_id = rule_id or f"hash_invariant({column})"
+        self._expected_version = expected_version
 
     def spec(self) -> dict[str, Any]:
+        if self._expected_version is None:
+            from slower_whisper_spark.rules.base import content_fingerprint
+
+            self._expected_version = content_fingerprint(
+                self.expected_df, [self.expected_key, self.expected_hash_col]
+            )
         return {
             "type": "hash_invariant",
             "column": self.column,
             "expected_key": self.expected_key,
             "expected_hash_col": self.expected_hash_col,
             "missing_is_violation": self.missing_is_violation,
+            "expected_version": self._expected_version,
             "rule_id": self.rule_id,
         }
 
@@ -57,6 +73,7 @@ class HashInvariant(TableRule):
         key_col: str,
         partition_col: str,
         violation_limit: int,
+        persisted: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         actual = df.select(
             F.col(partition_col).cast("string").alias("__part"),
@@ -68,17 +85,19 @@ class HashInvariant(TableRule):
             F.col(self.expected_hash_col).alias("__expected"),
         )
         joined = actual.join(expected, "__key", "left")
+        # null-safe compare (<=>): sha2(NULL) is NULL, and a plain != would
+        # evaluate to NULL and silently PASS a vanished payload that has a
+        # recorded expected hash — a byte-identity rule must flag it
+        mismatch = ~F.col("__actual").eqNullSafe(F.col("__expected"))
         if self.missing_is_violation:
-            bad = joined.filter(
-                F.col("__expected").isNull() | (F.col("__actual") != F.col("__expected"))
-            )
+            bad = joined.filter(F.col("__expected").isNull() | mismatch)
         else:
-            bad = joined.filter(
-                F.col("__expected").isNotNull() & (F.col("__actual") != F.col("__expected"))
-            )
+            bad = joined.filter(F.col("__expected").isNotNull() & mismatch)
         # mismatches are rare; persist them so the verdict agg and the
         # violation projection don't each re-run the full join
         bad = bad.persist()
+        if persisted is not None:
+            persisted.append(bad)
 
         verdicts = (
             bad.groupBy("__part")

@@ -63,10 +63,15 @@ class ForeignKey(TableRule):
         mode: str = "broadcast",
         fp_rate: float = 1e-6,
         allow_null: bool = True,
+        dim_version: str | None = None,
     ):
         """fk_expr: SQL expression producing the fk value from a fact row
         (e.g. ``parse_url(url, 'HOST')``). dim_df/dim_col: the reference set.
-        """
+
+        ``dim_version``: content identity of the dimension, folded into
+        spec() → suite_hash → checkpoint validity (a changed dimension must
+        invalidate 'done' partitions). Pass a snapshot id when available;
+        otherwise fingerprinted lazily once (count + xor-hash aggregate)."""
         self.fk_expr = fk_expr
         self.dim_df = dim_df
         self.dim_col = dim_col
@@ -75,8 +80,13 @@ class ForeignKey(TableRule):
         self.allow_null = allow_null
         self.rule_id = rule_id or f"fk({fk_expr})"
         self._cached_bloom_udf = None
+        self._dim_version = dim_version
 
     def spec(self) -> dict[str, Any]:
+        if self._dim_version is None:
+            from slower_whisper_spark.rules.base import content_fingerprint
+
+            self._dim_version = content_fingerprint(self.dim_df, [self.dim_col])
         return {
             "type": "foreign_key",
             "fk_expr": self.fk_expr,
@@ -84,6 +94,7 @@ class ForeignKey(TableRule):
             "mode": self.mode,
             "fp_rate": self.fp_rate if self.mode == "bloom" else None,
             "allow_null": self.allow_null,
+            "dim_version": self._dim_version,
             "rule_id": self.rule_id,
         }
 
@@ -161,10 +172,13 @@ class ForeignKey(TableRule):
         key_col: str,
         partition_col: str,
         violation_limit: int,
+        persisted: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         # violations are rare; persist so verdict agg + violation projection
         # share one anti-join/bloom scan
         viol_rows = self._violating_rows(df, key_col, partition_col).persist()
+        if persisted is not None:
+            persisted.append(viol_rows)
 
         verdicts = (
             viol_rows.groupBy("__part")

@@ -35,11 +35,16 @@ from slower_whisper_spark.rules.base import TableRule
 
 
 class Unique(TableRule):
+    # a key duplicated across two table partitions is this rule's whole
+    # point: on resumed/pruned runs the suite must feed it the full table
+    cross_partition = True
+
     def __init__(self, column: str, rule_id: str | None = None, salt_buckets: int = 0):
         """salt_buckets > 0 adds an explicit random-free salt (hash of the
-        key modulo buckets) as an extra phase-1 grouping term. With a
+        key modulo buckets) as an extra phase-1 grouping term. With a real
         partition column present this is redundant (the partition value
-        already salts phase 1); it exists for unpartitioned tables."""
+        already salts phase 1); it engages for unpartitioned tables (the
+        suite passes the synthetic '__all' constant there)."""
         self.column = column
         self.salt_buckets = salt_buckets
         self.rule_id = rule_id or f"unique({column})"
@@ -59,10 +64,14 @@ class Unique(TableRule):
         key_col: str,
         partition_col: str,
         violation_limit: int,
+        persisted: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         key = F.col(self.column)
         group_cols = [F.col(partition_col).cast("string").alias("__part"), key.alias("__key")]
-        if self.salt_buckets > 0 and partition_col is None:
+        if self.salt_buckets > 0 and (partition_col is None or partition_col == "__all"):
+            # unpartitioned table: the suite passes the synthetic '__all'
+            # constant, which contributes nothing to phase-1 spreading —
+            # the explicit hash salt takes over
             group_cols.append(
                 F.pmod(F.xxhash64(key), F.lit(self.salt_buckets)).alias("__salt")
             )
@@ -78,6 +87,8 @@ class Unique(TableRule):
         # duplicates are rare → persist so verdicts and violations share one
         # computation of the two-phase aggregation
         dup_keys = dup_keys.persist()
+        if persisted is not None:
+            persisted.append(dup_keys)
         attributed = per_part.join(dup_keys, "__key")
 
         verdicts = (

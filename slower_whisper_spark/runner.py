@@ -110,7 +110,12 @@ class ValidationRunner:
             )
 
         # partition pruning: with a hive/Iceberg layout this isin-filter
-        # becomes file-level pruning (no data read for done partitions)
+        # becomes file-level pruning (no data read for done partitions).
+        # Cross-partition table rules (Unique) still see the FULL table via
+        # global_df — a key duplicated across a completed and a pending
+        # partition must fail the pending partition; their shuffle runs on
+        # phase-1 partials, so the extra cost is bounded (ADVICE r1 #1).
+        pruned = len(pending) < len(partitions)
         scoped = df.filter(F.col(self.partition_col).cast("string").isin(pending))
 
         result = self.suite.validate(
@@ -118,6 +123,7 @@ class ValidationRunner:
             key_col=self.key_col,
             partition_col=self.partition_col,
             violation_limit=self.violation_limit,
+            global_df=df if pruned else None,
         )
         status_rows = result.partition_status().collect()
         wall = time.monotonic() - t0

@@ -49,7 +49,12 @@ def validate_stream(
         )
         verdicts = res.verdicts.withColumn("batch_id", F.lit(batch_id))
         violations = res.violations.withColumn("batch_id", F.lit(batch_id))
-        on_batch(batch_id, verdicts, violations)
+        try:
+            on_batch(batch_id, verdicts, violations)
+        finally:
+            # release the suite's cached intermediates — a long-running
+            # stream would otherwise accumulate one set per micro-batch
+            res.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)

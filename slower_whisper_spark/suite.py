@@ -50,6 +50,18 @@ class SuiteResult:
     verdicts: DataFrame  # VERDICT_COLS
     violations: DataFrame  # VIOLATION_COLS
     stats: DataFrame | None = None  # stats.unpivot_stats shape, when requested
+    persisted: list[DataFrame] = None  # type: ignore[assignment]
+
+    def unpersist(self) -> None:
+        """Release every DataFrame validate() cached/persisted. Call after
+        the verdicts/violations/stats have been materialized — long-running
+        drivers (streaming foreachBatch loops, multi-suite batch runs) would
+        otherwise accumulate storage indefinitely."""
+        for df in self.persisted or []:
+            try:
+                df.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
 
     def partition_status(self) -> DataFrame:
         """Per-partition rollup with the reference's status vocabulary:
@@ -113,20 +125,32 @@ class ConstraintSuite:
         violation_limit: int = 100,
         always_collect_violations: bool = False,
         stats_columns: list[str] | None = None,
+        global_df: DataFrame | None = None,
     ) -> SuiteResult:
         """Evaluate the suite.
 
         ``stats_columns``: fold a column-stats profile into the pass-1 scan
         (count/null-rate/min/max/mean/stddev/quantiles/HLL) — the result
         lands in ``SuiteResult.stats`` at zero extra scans.
+
+        ``global_df``: the UNPRUNED table, for resumed runs where ``df`` has
+        been filtered to pending partitions. Cross-partition table rules
+        (``rule.cross_partition`` True, e.g. Unique) evaluate over it so a
+        key duplicated across a completed and a pending partition is still
+        caught — verdicts stay scoped to ``df``'s partitions via the
+        part_rows join. Row rules and per-partition table rules stay on the
+        pruned ``df`` (their verdicts are partition-local by construction).
         """
         spark = df.sparkSession
         pcol = partition_col or "__all"
         if partition_col is None:
             df = df.withColumn("__all", F.lit("ALL"))
+            if global_df is not None:
+                global_df = global_df.withColumn("__all", F.lit("ALL"))
 
         verdict_parts: list[DataFrame] = []
         violation_parts: list[DataFrame] = []
+        persisted: list[DataFrame] = []
 
         # ---- classify rules: row / folded-into-scan / standalone -------- #
         row_rules: list = list(self.row_rules)
@@ -165,6 +189,7 @@ class ConstraintSuite:
 
         wide = df.groupBy(F.col(pcol).cast("string").alias("partition")).agg(*agg_exprs)
         wide = wide.cache()
+        persisted.append(wide)
         part_rows = wide.select("partition", "rows")
 
         counted_ids = [r.rule_id for r in row_rules] + [r.rule_id for r in folded_fk]
@@ -242,15 +267,31 @@ class ConstraintSuite:
                         F.col("v.expected").alias("expected"),
                     )
                 )
-                w = Window.partitionBy("rule_id").orderBy("key")
-                limited = (
-                    exploded.withColumn("__rn", F.row_number().over(w))
+                # two-level limit (VERDICT r1 #1): a single global
+                # Window.partitionBy(rule_id) routes ALL violating rows of a
+                # rule through one reducer — on a heavily-violating table
+                # (the exact case pass 2 exists for) that task sorts the full
+                # violation set. Level 1 caps per (rule, input-partition)
+                # first, spreading the sort across every task; level 2 then
+                # totals-orders only the ≤ limit × n_partitions survivors.
+                w_local = Window.partitionBy("rule_id", "__pid").orderBy("key")
+                pre = (
+                    exploded.withColumn("__pid", F.spark_partition_id())
+                    .withColumn("__rn", F.row_number().over(w_local))
                     .filter(F.col("__rn") <= violation_limit)
                     .drop("__rn")
                 )
+                w = Window.partitionBy("rule_id").orderBy("key")
+                limited = (
+                    pre.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= violation_limit)
+                    .drop("__rn", "__pid")
+                )
                 # bounded to violation_limit × n_rules rows → persist so
                 # downstream count()/collect() don't re-scan the table
-                violation_parts.append(limited.persist())
+                limited = limited.persist()
+                persisted.append(limited)
+                violation_parts.append(limited)
 
         # ---- folded drift verdicts: projections on the cached wide row -- #
         for rule in folded_drift:
@@ -263,8 +304,13 @@ class ConstraintSuite:
 
         # ---- standalone table rules (unique / join-based) ---------------- #
         for rule in standalone:
+            # cross-partition rules (Unique) see the UNPRUNED table on
+            # resumed runs — a key duplicated across a completed and a
+            # pending partition must still fail the pending partition
+            scope = global_df if (global_df is not None and getattr(rule, "cross_partition", False)) else df
             tv, tviol = rule.evaluate(
-                df, key_col=key_col, partition_col=pcol, violation_limit=violation_limit
+                scope, key_col=key_col, partition_col=pcol, violation_limit=violation_limit,
+                persisted=persisted,
             )
             # fill in passing partitions the rule didn't emit
             full = (
@@ -305,6 +351,7 @@ class ConstraintSuite:
             verdicts=verdicts.select(*VERDICT_COLS),
             violations=violations.select(*VIOLATION_COLS),
             stats=stats_df,
+            persisted=persisted,
         )
 
 

@@ -150,3 +150,35 @@ def test_snapshot_id_of_parquet(tmp_path, spark, docs_small):
     # appending data changes the snapshot
     docs.limit(10).write.mode("append").partitionBy("warc_day").parquet(out)
     assert snapshot_id(out) != s1
+
+
+def test_resume_catches_cross_partition_duplicates(spark, tmp_path):
+    """A url duplicated across a COMPLETED and a PENDING partition must fail
+    the pending partition on resume (ADVICE r1: the pruned scope used to
+    hide it permanently)."""
+    from slower_whisper_spark import Unique
+
+    rows = [
+        ("http://x/dup", "2026-07-01"),
+        ("http://x/a", "2026-07-01"),
+        ("http://x/dup", "2026-07-02"),  # same url, other partition
+        ("http://x/b", "2026-07-02"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_day string")
+    suite = ConstraintSuite("xp", [Unique("url")])
+    runner = ValidationRunner(suite, str(tmp_path / "m"), partition_col="warc_day")
+
+    # run 1 processes only day 1: sees one copy of dup → success
+    r1 = runner.run(df, snapshot_id="s", partitions=["2026-07-01"])
+    assert r1.overall_passed
+
+    # resume over both days: day 1 skipped, day 2 must FAIL (global dup)
+    r2 = runner.run(df, snapshot_id="s", partitions=["2026-07-01", "2026-07-02"])
+    assert r2.skipped_partitions == ["2026-07-01"]
+    assert r2.processed_partitions == ["2026-07-02"]
+    assert not r2.overall_passed
+    verd = {
+        (v["partition"], v["rule_id"]): v
+        for v in r2.result.verdicts.collect()
+    }
+    assert verd[("2026-07-02", "unique(url)")]["passed"] is False

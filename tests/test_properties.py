@@ -47,3 +47,21 @@ def test_suite_hash_independent_of_rule_construction_site(docs_small):
     a = _suite()
     b = _suite()
     assert a.suite_hash == b.suite_hash
+
+
+def test_violation_limit_first_n_by_key(docs_small):
+    """The two-level violation limit (per-input-partition cap → global cap)
+    must still return exactly the first N violating keys per rule."""
+    docs, _, _ = docs_small
+    lim = 5
+    full = ConstraintSuite("lim", [NotNull("url"), Pattern("lang", LANG_RE)]).validate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=10**9
+    )
+    fv = full.violations.toPandas()
+    capped = ConstraintSuite("lim", [NotNull("url"), Pattern("lang", LANG_RE)]).validate(
+        docs.repartition(13), key_col="url", partition_col="warc_day", violation_limit=lim
+    )
+    cv = capped.violations.toPandas()
+    for rid, grp in cv.groupby("rule_id"):
+        expect = sorted(fv[fv["rule_id"] == rid]["key"])[:lim]
+        assert sorted(grp["key"]) == expect

@@ -177,3 +177,77 @@ def test_drift_categorical(docs_small, spark):
 def test_baseline_roundtrip():
     b = Baseline(column="x", kind="hist", counts=[1, 2, 3], lo=0.0, hi=10.0, n_buckets=1)
     assert Baseline.from_dict(b.to_dict()) == b
+
+
+# --------------------------------------------------------------------- #
+# round-2 fixes: null-safe invariant, content fingerprints, salt engage
+# --------------------------------------------------------------------- #
+def test_hash_invariant_null_actual_is_violation(spark):
+    """sha2(NULL) = NULL must FAIL against a recorded expected hash — a
+    plain != comparison silently passed it (ADVICE r1)."""
+    facts = spark.createDataFrame(
+        [("u1", "hello"), ("u2", None)], "url string, text string"
+    )
+    expected = facts.filter(F.col("text").isNotNull()).select(
+        "url", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256")
+    ).unionByName(
+        spark.createDataFrame([("u2", "deadbeef")], "url string, text_sha256 string")
+    )
+    suite = ConstraintSuite("hi", [HashInvariant("text", expected, expected_key="url")])
+    res = suite.validate(facts, key_col="url")
+    viol = res.violations.toPandas()
+    assert set(viol["key"]) == {"u2"}
+    assert (viol["observed"] == "NULL").all()
+
+
+def test_fk_dim_content_change_changes_suite_hash(spark):
+    dim1 = spark.createDataFrame([("a",), ("b",)], "host string")
+    dim2 = spark.createDataFrame([("a",), ("c",)], "host string")
+    s1 = ConstraintSuite("fk", [ForeignKey("url", dim1, "host", rule_id="r")])
+    s2 = ConstraintSuite("fk", [ForeignKey("url", dim2, "host", rule_id="r")])
+    s1b = ConstraintSuite("fk", [ForeignKey("url", dim1.orderBy("host"), "host", rule_id="r")])
+    assert s1.suite_hash != s2.suite_hash  # content change ⇒ new identity
+    assert s1.suite_hash == s1b.suite_hash  # row order is irrelevant
+    # explicit version string skips the fingerprint job and wins
+    s3 = ConstraintSuite("fk", [ForeignKey("url", dim1, "host", rule_id="r", dim_version="v7")])
+    assert s3.suite_hash != s1.suite_hash
+
+
+def test_hash_invariant_expected_content_in_suite_hash(spark):
+    e1 = spark.createDataFrame([("u1", "h1")], "url string, text_sha256 string")
+    e2 = spark.createDataFrame([("u1", "h2")], "url string, text_sha256 string")
+    s1 = ConstraintSuite("hi", [HashInvariant("text", e1, rule_id="r")])
+    s2 = ConstraintSuite("hi", [HashInvariant("text", e2, rule_id="r")])
+    assert s1.suite_hash != s2.suite_hash
+
+
+def test_unique_salt_engages_when_unpartitioned(docs_small):
+    """The salt_buckets knob must actually appear in the phase-1 plan when
+    the table is unpartitioned (suite passes the synthetic '__all')."""
+    docs, _, _ = docs_small
+    rule = Unique("url", salt_buckets=16)
+    verd, _ = rule.evaluate(
+        docs.withColumn("__all", F.lit("ALL")),
+        key_col="url", partition_col="__all", violation_limit=10,
+    )
+    plan = verd._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer renames the __salt alias to _groupingexpression; the
+    # pmod(xxhash64(...)) salt expression itself is the stable marker
+    assert "pmod(xxhash64" in plan
+    # and with a real partition column it stays out of the grouping
+    verd2, _ = rule.evaluate(
+        docs, key_col="url", partition_col="warc_day", violation_limit=10
+    )
+    assert "pmod(xxhash64" not in verd2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_suite_unpersist_releases_storage(docs_small, spark):
+    docs, _, _ = docs_small
+    suite = ConstraintSuite("up", [Unique("url")])
+    res = suite.validate(docs, key_col="url", partition_col="warc_day")
+    res.verdicts.collect()
+    res.violations.collect()
+    assert res.persisted, "validate() should track its cached intermediates"
+    res.unpersist()
+    for df in res.persisted:
+        assert df.storageLevel.useMemory is False and df.storageLevel.useDisk is False
