@@ -696,6 +696,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["keyword_extract"] = q_keyword_extract
 
+    # ---- nested-array validation (reference segments[]/words[] contracts) --- #
+    def q_nested_segment_bounds(spark, sf):
+        """Nested rule over an array-of-structs column: per user, segments
+        built from events ([start, start+value)); every element must satisfy
+        end >= start (⟺ value >= 0) and the array must be non-empty. The
+        contract is compiled to forall() — evaluated in the suite's single
+        pass, no explode (ref: transcript-v2.schema.json:403-431 segment
+        bounds; models.py:524-579)."""
+        from slower_whisper_spark import ConstraintSuite, Nested
+
+        ev = _t(spark, sf, "events")
+        sec = F.col("ts").cast("timestamp_ltz").cast("double")
+        nested = ev.groupBy("user_id").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("event_id").alias("id"),
+                    sec.alias("start"),
+                    (sec + F.col("value")).alias("end"),
+                )
+            ).alias("segments")
+        )
+        suite = ConstraintSuite(
+            "nested", [Nested("segments", "x.end >= x.start AND x.id >= 0", min_size=1, rule_id="seg_bounds")]
+        )
+        res = suite.validate(nested, key_col="user_id")
+        return res.verdicts.select(
+            "partition", "rule_id", F.col("passed").cast("long").alias("passed"), "rows", "violations"
+        )
+
+    q["nested_segment_bounds"] = q_nested_segment_bounds
+
+    def q_nested_child_rollup(spark, sf):
+        """Explode-child path: flatten the per-user segments[] to element
+        grain and roll violations back up per parent key (SURVEY §1.1's
+        exploded-child-table-joined-back-by-key)."""
+        from slower_whisper_spark.operators import explode_child
+
+        ev = _t(spark, sf, "events")
+        sec = F.col("ts").cast("timestamp_ltz").cast("double")
+        nested = ev.groupBy("user_id").agg(
+            F.collect_list(
+                F.struct(F.col("event_id").alias("id"), sec.alias("start"), (sec + F.col("value")).alias("end"))
+            ).alias("segments")
+        )
+        child = explode_child(nested, key_col="user_id", array_col="segments")
+        return (
+            child.groupBy(F.col("key").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_elems"),
+                F.sum(F.when(~(F.col("end") >= F.col("start")), 1).otherwise(0))
+                .cast("long")
+                .alias("n_bad"),
+            )
+            .filter(F.col("n_bad") > 0)
+            .orderBy("user_id")
+        )
+
+    q["nested_child_rollup"] = q_nested_child_rollup
+
+    # ---- P2: explicit type-check rule (try_cast residual) -------------------- #
+    def q_typecheck_violations(spark, sf):
+        """TypeCheck rule: a mixed string column (numeric strings with
+        categorical strings injected every 10th id) checked castable-to-
+        double; violations are exactly the injected rows."""
+        from slower_whisper_spark import ConstraintSuite, TypeCheck
+
+        ev = _t(spark, sf, "events")
+        mixed = ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.col("event_type"))
+            .otherwise(F.col("value").cast("string"))
+            .alias("v_str"),
+        )
+        res = ConstraintSuite("tc", [TypeCheck("v_str", "double", rule_id="vtype")]).validate(
+            mixed, key_col="event_id", violation_limit=10**9, always_collect_violations=True
+        )
+        return res.violations.select(
+            F.col("key").cast("long").alias("event_id"), F.col("observed").alias("v_str")
+        ).orderBy("event_id")
+
+    q["typecheck_violations"] = q_typecheck_violations
+
     # ---- monotonic gap detection (W7) -------------------------------------- #
     def q_monotonic_gaps(spark, sf):
         """event_id continuity check (global stream: single key)."""
@@ -1022,6 +1104,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY sha256(text) ORDER BY doc_id
+        """,
+        "nested_segment_bounds": """
+            WITH perrow AS (
+              SELECT user_id,
+                     CASE WHEN COALESCE(epoch(ts) + value >= epoch(ts)
+                                        AND event_id >= 0, false)
+                          THEN 0 ELSE 1 END AS bad
+              FROM events),
+            agg AS (SELECT user_id, max(bad) AS has_bad FROM perrow GROUP BY user_id)
+            SELECT 'ALL' AS partition, 'seg_bounds' AS rule_id,
+                   CAST(CASE WHEN sum(has_bad) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed,
+                   count(*) AS rows,
+                   CAST(sum(has_bad) AS BIGINT) AS violations
+            FROM agg
+        """,
+        "nested_child_rollup": """
+            SELECT user_id, count(*) AS n_elems,
+                   CAST(sum(CASE WHEN NOT (epoch(ts) + value >= epoch(ts))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+            FROM events GROUP BY user_id
+            HAVING sum(CASE WHEN NOT (epoch(ts) + value >= epoch(ts)) THEN 1 ELSE 0 END) > 0
+            ORDER BY user_id
+        """,
+        "typecheck_violations": """
+            WITH m AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 10 = 0 THEN event_type
+                          ELSE CAST(value AS VARCHAR) END AS v_str
+              FROM events)
+            SELECT event_id, COALESCE(v_str, 'NULL') AS v_str
+            FROM m WHERE v_str IS NULL OR try_cast(v_str AS DOUBLE) IS NULL
+            ORDER BY event_id
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_neardup": _JACCARD_ORACLE,

@@ -24,6 +24,8 @@ from slower_whisper_spark.rules import (
     Pattern,
     Range,
     Length,
+    TypeCheck,
+    Nested,
     Expr,
     Conditional,
     Unique,
@@ -44,6 +46,8 @@ __all__ = [
     "Pattern",
     "Range",
     "Length",
+    "TypeCheck",
+    "Nested",
     "Expr",
     "Conditional",
     "Unique",

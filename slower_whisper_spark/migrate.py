@@ -112,9 +112,11 @@ def suite_from_spec(spec: dict[str, Any]):
         Enum,
         Expr,
         Length,
+        Nested,
         NotNull,
         Pattern,
         Range,
+        TypeCheck,
     )
     from slower_whisper_spark.suite import ConstraintSuite
 
@@ -125,6 +127,8 @@ def suite_from_spec(spec: dict[str, Any]):
         "pattern": lambda r: Pattern(r["column"], r["pattern"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
         "range": lambda r: Range(r["column"], min=r.get("min"), max=r.get("max"), rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
         "length": lambda r: Length(r["column"], min=r.get("min"), max=r.get("max"), kind=r.get("kind", "string"), rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
+        "type_check": lambda r: TypeCheck(r["column"], r["dtype"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
+        "nested": lambda r: Nested(r["column"], r["element_predicate"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False), min_size=r.get("min_size"), max_size=r.get("max_size")),
         "expr": lambda r: Expr(r["predicate"], rule_id=r["rule_id"], observed_expr=r.get("observed"), expected=r.get("expected")),
         "conditional": lambda r: Conditional(r["when"], r["then"], rule_id=r["rule_id"], observed_expr=r.get("observed")),
     }

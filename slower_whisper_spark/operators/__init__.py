@@ -9,6 +9,7 @@ from slower_whisper_spark.operators.dedup import (
     simhash_near_duplicates,
     simhash_signatures_df,
 )
+from slower_whisper_spark.operators.nested import child_suite_verdicts, explode_child
 from slower_whisper_spark.operators.sessionize import (
     adjacent_pairs,
     asof_join,
@@ -32,6 +33,8 @@ __all__ = [
     "simhash64",
     "simhash_near_duplicates",
     "simhash_signatures_df",
+    "child_suite_verdicts",
+    "explode_child",
     "adjacent_pairs",
     "asof_join",
     "monotonic_gaps",

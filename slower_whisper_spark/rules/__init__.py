@@ -1,6 +1,7 @@
 from slower_whisper_spark.rules.base import Rule, RowRule, TableRule
-from slower_whisper_spark.rules.schema import NotNull, Const, Enum, Pattern, Range, Length
+from slower_whisper_spark.rules.schema import NotNull, Const, Enum, Pattern, Range, Length, TypeCheck
 from slower_whisper_spark.rules.row import Expr, Conditional
+from slower_whisper_spark.rules.nested import Nested
 from slower_whisper_spark.rules.unique import Unique
 from slower_whisper_spark.rules.refint import ForeignKey
 from slower_whisper_spark.rules.invariant import HashInvariant
@@ -16,6 +17,8 @@ __all__ = [
     "Pattern",
     "Range",
     "Length",
+    "TypeCheck",
+    "Nested",
     "Expr",
     "Conditional",
     "Unique",

@@ -127,6 +127,43 @@ class Pattern(_NullableRowRule):
         return F.lit(f"matches /{self.pattern}/")
 
 
+class TypeCheck(_NullableRowRule):
+    """JSON-Schema ``type`` atom (P2): the value must be castable to the
+    target Spark type. Compiled to a ``try_cast`` residual — a value fails
+    iff ``try_cast(col AS dtype)`` is NULL while the value itself is not
+    (ref type atoms: transcript-v2.schema.json passim; isinstance checks
+    transcription/receipt.py:305-344). Pure expression, folds into pass 1
+    like every schema atom; no Python, ANSI-safe (try_cast never raises)."""
+
+    def __init__(
+        self,
+        column: str,
+        dtype: str,
+        rule_id: str | None = None,
+        allow_null: bool = False,
+    ):
+        self.column = column
+        self.dtype = dtype
+        self.allow_null = allow_null
+        self.rule_id = rule_id or f"type({column}:{dtype})"
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "type": "type_check",
+            "column": self.column,
+            "dtype": self.dtype,
+            "allow_null": self.allow_null,
+            "rule_id": self.rule_id,
+        }
+
+    def predicate(self) -> Column:
+        cast_ok = F.expr(f"try_cast(`{self.column}` AS {self.dtype})").isNotNull()
+        return self._wrap(cast_ok)
+
+    def expected(self) -> Column:
+        return F.lit(f"castable to {self.dtype}")
+
+
 class Range(_NullableRowRule):
     """min/max bounds on numeric or timestamp columns (inclusive)."""
 
