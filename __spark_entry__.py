@@ -610,7 +610,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ts").cast("timestamp_ltz").cast("double").alias("s"),
             (F.col("ts").cast("timestamp_ltz").cast("double") + F.col("value")).alias("e"),
         )
-        pairs = interval_overlap_pairs(ev, key_col="user_id", id_col="event_id", start_col="s", end_col="e")
+        # bucket_width exercises the interval-bucketing scale path: the
+        # self-join runs on (user, hour-bucket), not user alone — identical
+        # output to the plain per-key join (dedup-by-overlap-start bucket)
+        pairs = interval_overlap_pairs(
+            ev, key_col="user_id", id_col="event_id", start_col="s", end_col="e",
+            bucket_width=3600.0,
+        )
         return (
             pairs.groupBy(F.col("k").alias("user_id"))
             .agg(F.count(F.lit(1)).alias("n_overlaps"), F.round(F.sum("overlap"), 4).alias("total_overlap_sec"))

@@ -190,15 +190,24 @@ def interval_overlap_pairs(
     id_col: str,
     start_col: str,
     end_col: str,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """General interval-overlap self-join (J4's range-join form):
     pairs (id_a < id_b) within a key whose [start, end) intervals overlap
-    (a.start < b.end AND b.start < a.end).
+    (a.start < b.end AND b.start < a.end). Overlap duration included
+    (ref: transcription/conversation_physics.py:148-172).
 
-    Equi-join on the key bounds the pair space; at web scale add bucketed
-    time-range keys to the join condition so Catalyst can hash-partition
-    (classic interval-bucketing range join). Overlap duration included
-    (ref: transcription/conversation_physics.py:148-172)."""
+    ``bucket_width`` enables the classic interval-bucketing range join: each
+    interval explodes to its covered time buckets and the self-join runs on
+    (key, bucket) instead of key alone — a hot key with 10^5 intervals
+    spread over time no longer makes 10^10 comparisons; each reducer only
+    compares intervals in the same window. Pairs are deduplicated WITHOUT a
+    distinct(): a pair is emitted only from the bucket containing
+    max(start_a, start_b) — a point both intervals cover, lying in exactly
+    one bucket. Results are identical to the unbucketed path (tested).
+    Pick a width of the same order as a typical interval length: wider
+    buckets → fewer replicas per interval but more per-reducer comparisons.
+    ``None`` keeps the plain per-key equi-join (small-key path)."""
     a = df.select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("id_a"),
@@ -211,8 +220,24 @@ def interval_overlap_pairs(
         F.col(start_col).alias("sb"),
         F.col(end_col).alias("eb"),
     )
-    pairs = a.join(b, "k").filter(
-        (F.col("id_a") < F.col("id_b")) & (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea"))
+    overlap_pred = (F.col("id_a") < F.col("id_b")) & (F.col("sa") < F.col("eb")) & (
+        F.col("sb") < F.col("ea")
     )
+    if bucket_width is None:
+        pairs = a.join(b, "k").filter(overlap_pred)
+    else:
+        w = float(bucket_width)
+
+        def bucketed(side: DataFrame, s: str, e: str) -> DataFrame:
+            buckets = F.sequence(
+                F.floor(F.col(s) / w).cast("long"), F.floor(F.col(e) / w).cast("long")
+            )
+            return side.withColumn("__bkt", F.explode(buckets))
+
+        ab = bucketed(a, "sa", "ea")
+        bb = bucketed(b, "sb", "eb")
+        dedup = F.col("__bkt") == F.floor(F.greatest(F.col("sa"), F.col("sb")) / w).cast("long")
+        pairs = ab.join(bb, ["k", "__bkt"]).filter(overlap_pred & dedup).drop("__bkt")
+
     overlap = F.least(F.col("ea"), F.col("eb")) - F.greatest(F.col("sa"), F.col("sb"))
     return pairs.select("k", "id_a", "id_b", overlap.alias("overlap"))

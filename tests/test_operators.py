@@ -214,3 +214,33 @@ def test_multimodal_decode_stub(docs_small):
 
     with pytest.raises(NotImplementedError):
         decode_media(docs, decoder="pillow")
+
+
+def test_interval_bucketing_equals_plain_join(spark):
+    """Bucketed range join (hot-key scale path) must emit exactly the plain
+    per-key join's pair set — including intervals spanning many buckets."""
+    from slower_whisper_spark.operators.sessionize import interval_overlap_pairs
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # hot key: 300 intervals in a narrow window (lots of overlap)
+    for i in range(300):
+        s = rng.uniform(0, 500.0)
+        rows.append(("hot", i, s, s + rng.uniform(0.1, 50.0)))
+    # long intervals spanning many buckets + sparse keys
+    for i in range(300, 320):
+        s = rng.uniform(0, 10_000.0)
+        rows.append(("k" + str(i % 5), i, s, s + rng.uniform(100.0, 5_000.0)))
+    df = spark.createDataFrame(rows, "k string, id long, s double, e double")
+
+    def pairset(bw):
+        out = interval_overlap_pairs(
+            df, key_col="k", id_col="id", start_col="s", end_col="e", bucket_width=bw
+        )
+        return {(r["k"], r["id_a"], r["id_b"], round(r["overlap"], 9)) for r in out.collect()}
+
+    plain = pairset(None)
+    assert len(plain) > 1000  # the hot key really is hot
+    for bw in (60.0, 1000.0, 1e9):
+        assert pairset(bw) == plain
