@@ -58,6 +58,10 @@ class ManifestEntry:
     metrics: dict[str, float] = field(default_factory=dict)
     completed_at: str = ""
     run_id: str = ""
+    # mergeable per-partition sketches (column → b64): KLL quantiles / HLL
+    # distincts persisted with the lineage, so cross-run table-level stats
+    # merge from the manifest without rescanning data (SURVEY §4.2)
+    sketches: dict[str, str] = field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -69,11 +73,12 @@ class ManifestEntry:
             "metrics": self.metrics,
             "completed_at": self.completed_at,
             "run_id": self.run_id,
+            "sketches": self.sketches,
         }
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "ManifestEntry":
-        return ManifestEntry(**d)
+        return ManifestEntry(**{**d, "sketches": d.get("sketches", {})})
 
 
 class CheckpointManifest:
@@ -127,6 +132,7 @@ class CheckpointManifest:
         rows = [e.to_dict() for e in self.load()]
         schema = (
             "partition string, snapshot_id string, partition_spec string, rule_hash string, "
-            "status string, metrics map<string,double>, completed_at string, run_id string"
+            "status string, metrics map<string,double>, completed_at string, run_id string, "
+            "sketches map<string,string>"
         )
         return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
