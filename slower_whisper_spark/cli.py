@@ -23,13 +23,31 @@ def _build_suite_from_file(path: str):
     return suite_from_spec(spec)
 
 
+def _resolve_suite(suite_arg: str, registry_dir: str | None):
+    """``--suite`` accepts either a spec-file path or a registry reference
+    ``name[@vN]`` (requires --registry). Registry loads are strict-verified
+    against the lockfile (ref: transcription/schema/registry.py get_schema +
+    integrity verify)."""
+    import os
+    import re
+
+    m = re.fullmatch(r"([A-Za-z0-9._-]+)(?:@v?(\d+))?", suite_arg)
+    if registry_dir and m and not os.path.exists(suite_arg):
+        from slower_whisper_spark.registry import SuiteRegistry
+
+        name, ver = m.group(1), m.group(2)
+        return SuiteRegistry(registry_dir).load(name, int(ver) if ver else None)
+    return _build_suite_from_file(suite_arg)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="slower-whisper-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate", help="run a constraint suite over a parquet table")
     v.add_argument("table", help="path to (partitioned) parquet table")
-    v.add_argument("--suite", required=True, help="suite spec JSON (v1 specs auto-migrate)")
+    v.add_argument("--suite", required=True, help="suite spec JSON, or name[@vN] with --registry")
+    v.add_argument("--registry", default=None, help="suite registry dir (enables --suite name@vN)")
     v.add_argument("--key-col", default="url")
     v.add_argument("--partition-col", default="warc_day")
     v.add_argument("--manifest", default=None, help="checkpoint manifest dir (enables resume)")
@@ -37,13 +55,26 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--violation-limit", type=int, default=20)
     v.add_argument("--master", default=None)
 
+    r = sub.add_parser("registry", help="manage the named-suite registry + lockfile")
+    r.add_argument("action", choices=["save", "verify", "diff", "list"])
+    r.add_argument("--registry", required=True, help="registry dir")
+    r.add_argument("--spec", default=None, help="spec JSON to save (for: save)")
+    r.add_argument("--name", default=None, help="suite name (for: verify/diff)")
+    r.add_argument("--version", type=int, default=None)
+    r.add_argument("--old", type=int, default=None, help="old version (for: diff)")
+    r.add_argument("--new", type=int, default=None, help="new version (for: diff)")
+    r.add_argument("--overwrite", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "registry":
+        return _registry_main(args)
 
     from slower_whisper_spark.session import get_spark
     from slower_whisper_spark.sources.catalog import read, snapshot_id
 
     spark = get_spark(app_name="sws-cli", master=args.master)
-    suite = _build_suite_from_file(args.suite)
+    suite = _resolve_suite(args.suite, args.registry)
     df = read(spark, args.table)
 
     if args.manifest:
@@ -95,6 +126,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     print(f"[fail] suite {suite.name}@{suite.suite_hash[:12]}", file=sys.stderr)
     return 1 if args.gate else 0
+
+
+def _registry_main(args) -> int:
+    from slower_whisper_spark.registry import IntegrityError, SuiteRegistry
+
+    reg = SuiteRegistry(args.registry)
+    if args.action == "save":
+        suite = _build_suite_from_file(args.spec)
+        path = reg.save(suite, overwrite=args.overwrite)
+        print(json.dumps({"saved": f"{suite.name}@v{suite.version}", "path": path, "hash": suite.suite_hash}))
+        return 0
+    if args.action == "list":
+        out = {n: reg.versions(n) for n in reg.names()}
+        print(json.dumps(out))
+        return 0
+    if args.action == "verify":
+        try:
+            reg.verify(args.name, args.version, strict=True)
+        except IntegrityError as e:
+            print(f"[integrity] {e}", file=sys.stderr)
+            return 1
+        print(f"[ok] {args.name} verified")
+        return 0
+    if args.action == "diff":
+        print(json.dumps(reg.diff(args.name, args.old, args.new)))
+        return 0
+    return 2  # pragma: no cover
 
 
 if __name__ == "__main__":

@@ -55,13 +55,18 @@ class MigrationRegistry:
 
 
 def detect_version(spec: dict[str, Any]) -> int:
-    """Explicit ``version`` wins; else v1 heuristic (``checks`` key) — the
-    shape of the reference's detect_schema_version
-    (ref: transcription/schema/migration.py:159-195)."""
+    """Spec FORMAT version — distinct from the suite's own semantic
+    ``version`` number: a suite at version 1 whose spec already uses the
+    ``rules`` key is FORMAT v2 and must not be mangled by the v1→v2
+    migration (which reads ``checks``). Structure wins; the explicit
+    ``version`` field is only a fallback for rule-less specs
+    (ref detect shape: transcription/schema/migration.py:159-195)."""
+    if "rules" in spec:
+        return 2
+    if "checks" in spec:
+        return 1
     if "version" in spec and isinstance(spec["version"], int):
         return spec["version"]
-    if "checks" in spec and "rules" not in spec:
-        return 1
     raise SuiteVersionError("cannot detect suite version")
 
 
@@ -103,6 +108,25 @@ def auto_migrate(spec: dict[str, Any], to_version: int = 2) -> dict[str, Any]:
     return DEFAULT_REGISTRY.migrate(spec, to_version)
 
 
+def _build_unique(r: dict[str, Any]):
+    from slower_whisper_spark.rules import Unique
+
+    return Unique(r["column"], rule_id=r.get("rule_id"), salt_buckets=r.get("salt_buckets", 0))
+
+
+def _build_drift(r: dict[str, Any]):
+    from slower_whisper_spark.rules.drift import Baseline, Drift
+
+    return Drift(
+        r["column"],
+        Baseline.from_dict(r["baseline"]),
+        metric=r.get("metric", "psi"),
+        threshold=r.get("threshold", 0.25),
+        min_rows=r.get("min_rows", 100),
+        rule_id=r.get("rule_id"),
+    )
+
+
 def suite_from_spec(spec: dict[str, Any]):
     """Recompile a v2 spec dict into a live ConstraintSuite (inverse of
     ``ConstraintSuite.spec()`` for the schema/row rule families)."""
@@ -131,6 +155,8 @@ def suite_from_spec(spec: dict[str, Any]):
         "nested": lambda r: Nested(r["column"], r["element_predicate"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False), min_size=r.get("min_size"), max_size=r.get("max_size")),
         "expr": lambda r: Expr(r["predicate"], rule_id=r["rule_id"], observed_expr=r.get("observed"), expected=r.get("expected")),
         "conditional": lambda r: Conditional(r["when"], r["then"], rule_id=r["rule_id"], observed_expr=r.get("observed")),
+        "unique": lambda r: _build_unique(r),
+        "drift": lambda r: _build_drift(r),
     }
     rules = []
     for r in spec.get("rules", []):
