@@ -111,3 +111,54 @@ def test_interval_overlap_matches_duckdb(spark):
         """
     ).fetchone()[0]
     assert got == oracle
+
+
+def test_vtt_html_textgrid_exporters(spark):
+    """S7 exporters assemble per-document payloads distributed (ref VTT/HTML/
+    TextGrid writers: transcription/exporters.py:66-201)."""
+    from slower_whisper_spark.sources.sinks import format_html, format_textgrid, format_vtt
+
+    segs = spark.createDataFrame(
+        [
+            ("d1", 0.0, 1.5, "hello <world>"),
+            ("d1", 1.5, 3.25, 'say "hi" & bye'),
+            ("d2", 10.0, 3671.042, "long one"),
+        ],
+        "doc string, s double, e double, t string",
+    )
+
+    vtt = {r["key"]: r["payload"] for r in format_vtt(
+        segs, key_col="doc", start_col="s", end_col="e", text_col="t").collect()}
+    assert vtt["d1"].startswith("WEBVTT\n\n00:00:00.000 --> 00:00:01.500\nhello <world>\n\n")
+    assert "00:00:01.500 --> 00:00:03.250" in vtt["d1"]
+    assert "00:00:10.000 --> 01:01:11.042" in vtt["d2"]  # hour rollover, dot ms
+
+    html = {r["key"]: r["payload"] for r in format_html(
+        segs, key_col="doc", start_col="s", end_col="e", text_col="t").collect()}
+    assert '<p data-start="0.000" data-end="1.500">hello &lt;world&gt;</p>' in html["d1"]
+    assert "&amp; bye" in html["d1"] and html["d1"].startswith("<!DOCTYPE html>")
+
+    tg = {r["key"]: r["payload"] for r in format_textgrid(
+        segs, key_col="doc", start_col="s", end_col="e", text_col="t").collect()}
+    assert tg["d1"].startswith('File type = "ooTextFile"')
+    assert "intervals: size = 2" in tg["d1"]
+    assert 'text = "say ""hi"" & bye"' in tg["d1"]  # Praat quote doubling
+    assert "xmax = 3671.042" in tg["d2"]
+
+
+def test_write_per_doc_text(spark, tmp_path):
+    import glob
+
+    from slower_whisper_spark.sources.sinks import format_vtt, write_per_doc_text
+
+    segs = spark.createDataFrame(
+        [("a", 0.0, 1.0, "x"), ("b", 0.0, 2.0, "y")], "doc string, s double, e double, t string"
+    )
+    out = str(tmp_path / "vtt")
+    write_per_doc_text(
+        format_vtt(segs, key_col="doc", start_col="s", end_col="e", text_col="t"), out
+    )
+    dirs = {p.split("key=")[1] for p in glob.glob(out + "/key=*")}
+    assert dirs == {"a", "b"}
+    body = open(glob.glob(out + "/key=a/part*")[0]).read()
+    assert body.startswith("WEBVTT")
