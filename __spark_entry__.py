@@ -344,6 +344,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["local_supplier_volume"] = q_local_supplier_volume
 
+    def q_revenue_forecast(spark, sf):
+        """TPC-H Q6-style: pure filter+aggregate — the pushdown showcase
+        (filters reach the parquet scan, no shuffle beyond the 1-row agg)."""
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        )
+
+    q["revenue_forecast"] = q_revenue_forecast
+
+    def q_promo_revenue(spark, sf):
+        """TPC-H Q14-style: join + conditional aggregate — promo revenue
+        share per 1996 month (broadcast the part dim)."""
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            )
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.month("l_shipdate").alias("ship_month"))
+            .agg(
+                F.round(
+                    100 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)) / F.sum(disc), 6
+                ).alias("promo_pct")
+            )
+            .orderBy("ship_month")
+        )
+
+    q["promo_revenue"] = q_promo_revenue
+
+    def q_late_ship_orders(spark, sf):
+        """TPC-H Q4-style EXISTS: orders with ≥1 lineitem shipped more than
+        60 days after the order date — left SEMI join (no fact-row
+        duplication, no distinct), counts per priority."""
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+        late = o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        return (
+            late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+    q["late_ship_orders"] = q_late_ship_orders
+
+    def q_vectorized_rule(spark, sf):
+        """Arrow-batch escape-hatch rule (SegmentProcessor-plugin analog):
+        a numpy batch predicate 'document has ≥ 5 whitespace tokens' — the
+        one sanctioned Python path; oracle replicates it in SQL."""
+        from slower_whisper_spark import ConstraintSuite, Vectorized
+
+        def min_five_tokens(s):
+            # vectorized pandas: whitespace-token count ≥ 5; nulls fail
+            return (s.str.split().str.len() >= 5).fillna(False)
+
+        docs = _t(spark, sf, "documents")
+        res = ConstraintSuite("vx", [Vectorized("text", min_five_tokens, rule_id="min5tok")]).validate(
+            docs, key_col="doc_id", violation_limit=10**9, always_collect_violations=True
+        )
+        return res.violations.select(F.col("key").cast("long").alias("doc_id")).orderBy("doc_id")
+
+    q["vectorized_rule"] = q_vectorized_rule
+
     def q_distinct_users(spark, sf):
         """A11 exact distinct per group (HLL's oracle-checkable twin)."""
         ev = _t(spark, sf, "events")
@@ -1110,6 +1187,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY sha256(text) ORDER BY doc_id
+        """,
+        "revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue": """
+            SELECT month(l_shipdate) AS ship_month,
+                   round(100 * sum(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY ship_month ORDER BY ship_month
+        """,
+        "late_ship_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "vectorized_rule": r"""
+            SELECT doc_id FROM documents
+            WHERE text IS NULL
+               OR (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) < 5
+            ORDER BY doc_id
         """,
         "nested_segment_bounds": """
             WITH perrow AS (

@@ -26,6 +26,7 @@ from slower_whisper_spark.rules import (
     Length,
     TypeCheck,
     Nested,
+    Vectorized,
     Expr,
     Conditional,
     Unique,
@@ -48,6 +49,7 @@ __all__ = [
     "Length",
     "TypeCheck",
     "Nested",
+    "Vectorized",
     "Expr",
     "Conditional",
     "Unique",

@@ -124,6 +124,43 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
 
 
+def hashed_shingle_rows(df, id_col: str, text_col: str, n: int = 3):
+    """Exploded (id, sh: bigint) rows — shingles as 64-bit HASHES, never as
+    strings. The string form (``shingle_rows``) allocates ~3x the text bytes
+    in shingle strings and shuffles them; on this class of hardware the
+    string churn saturates memory bandwidth long before CPU (a pure string
+    explode probe scales ~1x from 2→8 cores while sha256 scales 3.2x). The
+    hashed form does ONE single-pass tokenization (one regex, vs the 3-pass
+    normalize+split), hashes each token once, and derives each shingle hash
+    arithmetically from 3 consecutive token hashes (``xxhash64(h1,h2,h3)``)
+    — everything past tokenization is fixed-width longs.
+
+    Token semantics equal ``tokens(normalize_text(..))``: lowercase alnum
+    runs. Short docs (1 ≤ tokens < n) get one whole-doc shingle (hash of the
+    token-hash array); empty docs yield nothing. Collision risk 2^-64 —
+    fine for candidate generation and minhash signatures."""
+    # pre-filter on a cheap regex instead of size(__tk) > 0: a size filter
+    # would be pushed below the projection with the tokenizer expression
+    # substituted in, tokenizing every document twice
+    tok = df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    # token-hash array materialized as its own column: multi-referenced, so
+    # Catalyst keeps it instead of inlining the tokenizer per element
+    th = tok.select("id", F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"), "__n")
+    grams = F.when(
+        F.col("__n") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - n + 1),
+            lambda i: F.xxhash64(*[F.element_at(F.col("__th"), i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.col("__th"))))
+    return th.select("id", F.explode(grams).alias("sh"))
+
+
 def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
     """Exploded (id, shingle) rows with the token array materialized ONCE
     per document (same semantics as ``shingles``: short docs yield one

@@ -13,6 +13,23 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def make_bool_batch_udf(fn):
+    """Wrap a user batch predicate ``pd.Series -> pd.Series[bool]`` as an
+    Arrow-batch pandas UDF — the sanctioned plugin surface for constraints
+    Spark SQL can't express (the reference's SegmentProcessor/analyzer
+    plugin analog, ref: transcription/post_process.py:97-114). The function
+    sees a whole Arrow batch; keep it numpy-vectorized."""
+
+    @pandas_udf("boolean")
+    def batch_pred(v: pd.Series) -> pd.Series:
+        out = fn(v)
+        if not isinstance(out, pd.Series):
+            out = pd.Series(out, index=v.index)
+        return out.astype("boolean")
+
+    return batch_pred
+
+
 def make_bloom_might_contain(bc):
     """Vectorized Bloom membership test over xxhash64-hashed keys.
 

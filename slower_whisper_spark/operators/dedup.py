@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from slower_whisper_spark.functions.text import normalize_text, shingle_rows, shingles
+from slower_whisper_spark.functions.text import (
+    hashed_shingle_rows,
+    normalize_text,
+    shingle_rows,
+    shingles,
+)
 
 
 def _fanned_out(df: DataFrame) -> DataFrame:
@@ -90,11 +95,17 @@ def minhash_signatures_df(
     the whole shingle-construction tree per hash — 64 copies blow past
     codegen limits and run interpreted. Exploding materializes each shingle
     ONCE; the 64 minima are plain partial-aggregable MIN()s (map-side
-    combine, shuffles only |ids|×1 rows)."""
+    combine, shuffles only |ids|×1 rows).
+
+    Shingles enter as 64-bit HASHES (``hashed_shingle_rows``): per-seed
+    re-hash is ``xxhash64(long, seed)`` over fixed-width data — no shingle
+    strings exist anywhere, which roughly halves wall time and restores
+    2→8-core scaling on bandwidth-limited hosts (string churn was the
+    bottleneck, not CPU)."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
-    sh = shingle_rows(narrow, "id", "__txt", n=shingle_n).withColumnRenamed("shingle", "__s")
+    sh = hashed_shingle_rows(narrow, "id", "__txt", n=shingle_n)
     aggs = [
-        F.min(F.xxhash64(F.col("__s"), F.lit(j))).alias(f"__m{j}") for j in range(num_hashes)
+        F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"__m{j}") for j in range(num_hashes)
     ]
     return (
         sh.groupBy("id")
@@ -182,6 +193,17 @@ def jaccard_pairs(
     near-constant corpora; pass ``max_df=None`` there for the exact-complete
     path. Verification on surviving candidates is always exact."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+
+    if candidates is not None:
+        # verification cost must scale with CANDIDATES, not corpus: filter
+        # the docs to candidate-pair members BEFORE any shingling — only
+        # those need their (string-)shingle arrays built at all. Persist the
+        # (small) pair set first: it is consumed twice (ids + final join)
+        # and its upstream is the expensive LSH bucket join.
+        candidates = candidates.select("id_a", "id_b").persist()
+        cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+        narrow = narrow.join(cand_ids, "id", "left_semi")
+
     rows = shingle_rows(narrow, "id", "__txt", n=shingle_n).dropDuplicates(["id", "shingle"])
     sh = rows.groupBy("id").agg(F.collect_list("shingle").alias("__sh"))
 

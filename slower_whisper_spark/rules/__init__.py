@@ -2,6 +2,7 @@ from slower_whisper_spark.rules.base import Rule, RowRule, TableRule
 from slower_whisper_spark.rules.schema import NotNull, Const, Enum, Pattern, Range, Length, TypeCheck
 from slower_whisper_spark.rules.row import Expr, Conditional
 from slower_whisper_spark.rules.nested import Nested
+from slower_whisper_spark.rules.vectorized import Vectorized
 from slower_whisper_spark.rules.unique import Unique
 from slower_whisper_spark.rules.refint import ForeignKey
 from slower_whisper_spark.rules.invariant import HashInvariant
@@ -19,6 +20,7 @@ __all__ = [
     "Length",
     "TypeCheck",
     "Nested",
+    "Vectorized",
     "Expr",
     "Conditional",
     "Unique",

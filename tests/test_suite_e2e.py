@@ -153,3 +153,40 @@ def test_conditional_rule(spark):
     res = suite.validate(df, key_col="id")
     viol = res.violations.toPandas()
     assert list(viol["key"]) == ["b"]  # 'c' passes vacuously
+
+
+def test_vectorized_rule_batch_escape_hatch(spark):
+    """Arrow-batch plugin rule: validation result + impl-fingerprint
+    identity (editing the function invalidates the suite hash)."""
+    from slower_whisper_spark import ConstraintSuite, Vectorized
+
+    df = spark.createDataFrame(
+        [("1", "one two three four five"), ("2", "too short"), ("3", None)],
+        "id string, text string",
+    )
+
+    def min5(s):
+        return (s.str.split().str.len() >= 5).fillna(False)
+
+    res = ConstraintSuite("v", [Vectorized("text", min5, rule_id="m5")]).validate(
+        df, key_col="id", violation_limit=10
+    )
+    viol = {r["key"] for r in res.violations.collect()}
+    assert viol == {"2", "3"}
+
+    def min5_variant(s):
+        return (s.str.split().str.len() >= 4).fillna(False)
+
+    h1 = ConstraintSuite("v", [Vectorized("text", min5, rule_id="m5")]).suite_hash
+    h2 = ConstraintSuite("v", [Vectorized("text", min5_variant, rule_id="m5")]).suite_hash
+    assert h1 != h2
+
+    # allow_null: a null RESULT from the batch fn falls back to allow_null
+    def nully(s):
+        import pandas as pd
+        return pd.Series([None] * len(s), index=s.index, dtype=object)
+
+    res2 = ConstraintSuite("v", [Vectorized("text", nully, rule_id="n", allow_null=True)]).validate(
+        df, key_col="id"
+    )
+    assert res2.verdicts.collect()[0]["violations"] == 0
