@@ -126,6 +126,26 @@ class CheckpointManifest:
             and (snapshot_id is None or e.snapshot_id == snapshot_id)
         }
 
+    def completed_partitions_versioned(
+        self, rule_hash: str, snapshots: dict[str, str]
+    ) -> set[str]:
+        """Incremental variant: a partition is done iff its latest entry is
+        a success under the same rule hash AND the snapshot recorded for
+        THAT PARTITION equals its current per-partition snapshot — appends
+        to one partition no longer invalidate the rest (Iceberg per-
+        partition manifest semantics)."""
+        latest: dict[str, ManifestEntry] = {}
+        for e in self.load():
+            latest[e.partition] = e
+        return {
+            p
+            for p, e in latest.items()
+            if e.status == STATUS_SUCCESS
+            and e.rule_hash == rule_hash
+            and p in snapshots
+            and e.snapshot_id == snapshots[p]
+        }
+
     def as_df(self, spark):
         """Manifest as a DataFrame — the anti-join resume path for very
         large partition counts."""

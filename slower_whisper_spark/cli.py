@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--key-col", default="url")
     v.add_argument("--partition-col", default="warc_day")
     v.add_argument("--manifest", default=None, help="checkpoint manifest dir (enables resume)")
+    v.add_argument(
+        "--incremental",
+        action="store_true",
+        help="per-partition snapshot resume: re-validate only partitions whose data files changed",
+    )
     v.add_argument("--gate", action="store_true", help="exit 1 on any failure")
     v.add_argument("--violation-limit", type=int, default=20)
     v.add_argument("--master", default=None)
@@ -87,9 +92,17 @@ def main(argv: list[str] | None = None) -> int:
             partition_col=args.partition_col,
             violation_limit=args.violation_limit,
         )
+        psnaps = None
+        if args.incremental:
+            from slower_whisper_spark.sources.catalog import partition_snapshots
+
+            psnaps = partition_snapshots(args.table, args.partition_col)
         try:
             rr = runner.run(
-                df, snapshot_id=snapshot_id(args.table), mode="gate" if args.gate else "report"
+                df,
+                snapshot_id=snapshot_id(args.table),
+                mode="gate" if args.gate else "report",
+                partition_snapshots=psnaps,
             )
         except GateFailure as e:
             print(f"[gate] {e}", file=sys.stderr)

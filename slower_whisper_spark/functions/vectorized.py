@@ -30,6 +30,34 @@ def make_bool_batch_udf(fn):
     return batch_pred
 
 
+def make_lsh_buckets(tables):
+    """All hyperplane-LSH table buckets for a vector in ONE numpy matmul per
+    Arrow batch: (batch, dim) @ (dim, tables*planes) → sign bits → packed
+    per-table bucket ids (array<long>, one per table).
+
+    ``tables``: numpy (n_tables, n_planes, dim). This replaces both
+    expression forms for bucketing: the HOF dot runs interpreted per
+    element, and unrolled arithmetic at 64 dims × many tables makes a
+    ~10^5-node Catalyst tree (driver OOM in codegen). BLAS scales with
+    cores and the plan stays one UDF node."""
+    import numpy as _np
+
+    n_tables, n_planes, dim = tables.shape
+    H = _np.ascontiguousarray(tables.reshape(n_tables * n_planes, dim).T)  # (dim, T*P)
+    weights = (1 << _np.arange(n_planes, dtype=_np.int64))
+
+    @pandas_udf("array<long>")
+    def lsh_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = _np.array(v.tolist(), dtype=_np.float64)  # (batch, dim)
+        bits = (M @ H) >= 0.0  # (batch, T*P)
+        buckets = (bits.reshape(len(M), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return lsh_buckets
+
+
 def make_bloom_might_contain(bc):
     """Vectorized Bloom membership test over xxhash64-hashed keys.
 

@@ -6,19 +6,30 @@ functions over ``mapInPandas`` (per-partition batch iteration — the
 amortized-setup pattern the reference uses for its shared
 AudioSegmentExtractor, ref: transcription/audio_enrichment.py:327-333).
 
-The container has no image/audio codecs, so the decode kernel is STUBBED:
-``decoder="fake"`` produces deterministic metadata derived from the bytes
-(stable for tests); ``decoder="pillow"``/``"ffmpeg"`` raise
-NotImplementedError until the real libs are present. Everything around the
-kernel — schema, batch shape, partitioning, UDF signature — is real and
-tested; swapping in a real decoder changes ONE function.
+Decoder tiers (the container has no media libraries; everything here is
+stdlib + numpy):
+
+* ``decoder="headers"`` — REAL metadata extraction: PNG/JPEG/GIF/BMP
+  dimensions parsed from the actual container headers (IHDR, SOF marker
+  scan, logical-screen descriptor, BITMAPINFOHEADER) and WAV
+  channels/sample-rate/duration from the RIFF fmt/data chunks. Features are
+  real where the payload is raw: PCM RMS/zero-crossings for WAV, per-band
+  pixel stats for uncompressed 24-bit BMP; compressed pixel data
+  (PNG/JPEG/GIF) falls back to a content-hash feature, documented — full
+  bitmap decode needs a codec library.
+* ``decoder="fake"`` — deterministic stub (stable synthetic dims/features),
+  for plumbing tests.
+* ``decoder="pillow"``/``"ffmpeg"`` — raise NotImplementedError until the
+  real libs are present; swapping one in changes ONE function.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -66,6 +77,96 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
+# --------------------------------------------------------------------- #
+# real (stdlib) container-header parsers
+# --------------------------------------------------------------------- #
+def parse_media_header(b: bytes) -> dict:
+    """Real header decode for PNG / JPEG / GIF / BMP / WAV: media type,
+    format, dimensions, duration — from the actual byte layout, no codec
+    libraries. Unknown payloads → format='bin' with size only."""
+    out = {
+        "media_type": "binary", "format": "bin", "n_bytes": len(b),
+        "width": None, "height": None, "duration_sec": None,
+        "sha256": hashlib.sha256(b).hexdigest(),
+    }
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR is always the first chunk: width/height big-endian at 16/20
+            w, h = struct.unpack(">II", b[16:24])
+            out.update(media_type="image", format="png", width=w, height=h)
+        elif b[:2] == b"\xff\xd8":
+            out.update(media_type="image", format="jpeg")
+            i = 2
+            while i + 9 < len(b):  # marker scan for a Start-Of-Frame segment
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    out.update(width=w, height=h)
+                    break
+                seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(media_type="image", format="gif", width=w, height=h)
+        elif b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            out.update(media_type="image", format="bmp", width=w, height=abs(h))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            rate = block_align = data_size = None
+            while i + 8 <= len(b):
+                cid, csz = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 24 <= len(b):
+                    _fmt, _ch, rate, _bps, block_align, _bits = struct.unpack(
+                        "<HHIIHH", b[i + 8 : i + 24]
+                    )
+                elif cid == b"data":
+                    data_size = csz
+                i += 8 + csz + (csz & 1)
+            out.update(media_type="audio", format="wav")
+            if rate and block_align and data_size is not None:
+                out.update(duration_sec=data_size / (rate * block_align))
+    except (struct.error, IndexError):  # truncated container: keep what we have
+        pass
+    return out
+
+
+def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
+    """Real features where the payload is raw samples; hash-fallback where
+    pixel data is compressed (needs a codec)."""
+    if meta["format"] == "wav":
+        i, data = 12, None
+        while i + 8 <= len(b):
+            cid, csz = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"data":
+                data = b[i + 8 : i + 8 + csz]
+                break
+            i += 8 + csz + (csz & 1)
+        if data:
+            s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+            if s.size:
+                rms = float(np.sqrt(np.mean(s**2)) / 32768.0)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8)))))
+                peak = float(np.max(np.abs(s)) / 32768.0)
+                mean = float(np.mean(s) / 32768.0)
+                base = [rms, zc, peak, mean]
+                return (base + [0.0] * dim)[:dim]
+    if meta["format"] == "bmp" and meta["width"]:
+        off = struct.unpack("<I", b[10:14])[0]
+        bits = struct.unpack("<H", b[28:30])[0]
+        if bits == 24:
+            px = np.frombuffer(b[off : off + (len(b) - off) // 3 * 3], dtype=np.uint8)
+            if px.size >= 3:
+                px = px[: px.size // 3 * 3].reshape(-1, 3).astype(np.float64) / 255.0
+                means, stds = px.mean(axis=0), px.std(axis=0)
+                base = [*means, *stds]
+                return ([float(x) for x in base] + [0.0] * dim)[:dim]
+    return _fake_feature(b, dim)
+
+
 def decode_media(
     df: DataFrame,
     *,
@@ -80,16 +181,17 @@ def decode_media(
     constructed ONCE (amortized init), then applied per batch. Only the
     key + binary columns are read (column pruning keeps the scan narrow).
     """
-    if decoder not in ("fake", "pillow", "ffmpeg"):
+    if decoder not in ("fake", "headers", "pillow", "ffmpeg"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if decoder != "fake":
+    if decoder in ("pillow", "ffmpeg"):
         raise NotImplementedError(
             f"decoder {decoder!r} requires media libraries not present in this "
-            "environment; use decoder='fake' (deterministic stub) — the Spark "
-            "plumbing (schema/batching/partitioning) is identical"
+            "environment; use decoder='headers' (real container-header parse + "
+            "raw-sample features) or 'fake' (deterministic stub)"
         )
 
     dim = feature_dim
+    use_headers = decoder == "headers"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition one-time decoder setup would go here
@@ -97,8 +199,13 @@ def decode_media(
             metas, feats = [], []
             for payload in pdf[binary_col]:
                 b = bytes(payload) if payload is not None else b""
-                metas.append(_fake_decode(b))
-                feats.append(_fake_feature(b, dim))
+                if use_headers:
+                    m = parse_media_header(b)
+                    metas.append(m)
+                    feats.append(_headers_feature(b, m, dim))
+                else:
+                    metas.append(_fake_decode(b))
+                    feats.append(_fake_feature(b, dim))
             yield pd.DataFrame({"url": pdf[key_col], "meta": metas, "feature": feats})
 
     narrow = df.select(key_col, binary_col)

@@ -69,7 +69,13 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
 
 
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Sign-bit bucket id for one table: packed int of sign(v·h_i)."""
+    """Sign-bit bucket id for ONE table as a pure Column expression. Kept as
+    the didactic/declarative form; the bucketed operators below use
+    ``make_lsh_buckets`` instead — the HOF dot runs interpreted (memory-
+    bound, poor core scaling) and the unrolled-arithmetic alternative
+    explodes the Catalyst tree to ~10^5 nodes at 64 dims × many tables
+    (driver OOM during codegen). One numpy matmul per Arrow batch computes
+    ALL tables' buckets with a tiny plan."""
     vec = F.col(vec_col).cast("array<double>")
     bits = []
     for i, h in enumerate(planes):
@@ -95,16 +101,19 @@ def lsh_bucketed_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables, exact
-    cosine re-rank on candidates only."""
+    cosine re-rank on candidates only. Buckets come from one numpy-matmul
+    Arrow UDF (all tables at once); re-rank cosines stay JVM-side."""
+    from slower_whisper_spark.functions.vectorized import make_lsh_buckets
+
     dim = len(corpus.select(vec_col).first()[0])
     tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    bucket_udf = make_lsh_buckets(tables)
 
     def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        buckets = F.array(*[lsh_bucket_expr(vec_col, tables[t]) for t in range(n_tables)])
         return df.select(
             F.col(idc).alias(out_id),
             F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"),
-            F.posexplode(buckets).alias("table", "bucket"),
+            F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
         )
 
     cb = bucketed(corpus, id_col, "neighbor_id")
@@ -137,12 +146,14 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
     buckets + exact verification."""
+    from slower_whisper_spark.functions.vectorized import make_lsh_buckets
+
     tables = _hyperplanes(len(df.select(vec_col).first()[0]), n_planes, n_tables, seed)
-    buckets = F.array(*[lsh_bucket_expr(vec_col, tables[t]) for t in range(n_tables)])
+    bucket_udf = make_lsh_buckets(tables)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-        F.posexplode(buckets).alias("table", "bucket"),
+        F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
     )
     cand = (
         b.alias("a")

@@ -75,10 +75,19 @@ class ValidationRunner:
         partitions: list[str] | None = None,
         resume: bool = True,
         mode: str = "report",
+        partition_snapshots: dict[str, str] | None = None,
     ) -> RunResult:
+        """``partition_snapshots`` (partition → content fingerprint, e.g.
+        sources.catalog.partition_snapshots) switches resume to INCREMENTAL
+        mode: a partition re-validates only when ITS OWN snapshot changed,
+        so appending one day to a 10^4-partition table re-runs one
+        partition, not all of them. Manifest entries are stamped with the
+        per-partition snapshot."""
         run_id = new_run_id()
         t0 = time.monotonic()
 
+        if partitions is None and partition_snapshots is not None:
+            partitions = list(partition_snapshots)
         if partitions is None:
             # metadata-only when the caller can supply them (Iceberg/hive
             # layout); otherwise one distinct scan
@@ -89,7 +98,11 @@ class ValidationRunner:
         partitions = sorted(partitions)
 
         done: set[str] = set()
-        if resume:
+        if resume and partition_snapshots is not None:
+            done = self.manifest.completed_partitions_versioned(
+                self.suite.suite_hash, partition_snapshots
+            )
+        elif resume:
             done = self.manifest.completed_partitions(self.suite.suite_hash, snapshot_id or None)
         pending = [p for p in partitions if p not in done]
         skipped = [p for p in partitions if p in done]
@@ -139,7 +152,11 @@ class ValidationRunner:
             entries.append(
                 ManifestEntry(
                     partition=r["partition"],
-                    snapshot_id=snapshot_id,
+                    snapshot_id=(
+                        partition_snapshots.get(r["partition"], snapshot_id)
+                        if partition_snapshots is not None
+                        else snapshot_id
+                    ),
                     partition_spec=self.partition_col,
                     rule_hash=self.suite.suite_hash,
                     status=STATUS_SUCCESS if not failed else STATUS_PARTIAL,

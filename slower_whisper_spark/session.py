@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # one BLAS thread per task: numpy in Arrow UDF workers must not spawn
+        # its own thread pool under Spark's — it oversubscribes cores and
+        # quietly steals cross-core parallelism from low-core runs, skewing
+        # any N-vs-4N scaling measurement
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -51,5 +51,22 @@ def list_partitions(path: str, partition_col: str) -> list[str]:
     return vals
 
 
+def partition_snapshots(path: str, partition_col: str) -> dict[str, str]:
+    """Per-PARTITION content fingerprints (metadata-only) — the incremental-
+    validation primitive: on an append-mostly table, a global snapshot id
+    changes on EVERY append and forces full re-validation; per-partition
+    snapshots let the runner re-validate only partitions whose data files
+    actually changed (Iceberg analog: per-partition manifest entries)."""
+    out = {}
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return out
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        if name.startswith(prefix) and os.path.isdir(sub):
+            out[name[len(prefix):]] = snapshot_id(sub)
+    return out
+
+
 def read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

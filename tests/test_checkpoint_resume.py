@@ -182,3 +182,39 @@ def test_resume_catches_cross_partition_duplicates(spark, tmp_path):
         for v in r2.result.verdicts.collect()
     }
     assert verd[("2026-07-02", "unique(url)")]["passed"] is False
+
+
+def test_incremental_per_partition_snapshots(spark, docs_small, tmp_path):
+    """Appending to ONE partition re-validates only that partition —
+    per-partition snapshot resume (Iceberg manifest-entry analog). A global
+    snapshot id would have invalidated everything."""
+    from slower_whisper_spark.sources.catalog import partition_snapshots
+
+    docs, _, _ = docs_small
+    clean = docs.filter(F.col("url").isNotNull())
+    table = str(tmp_path / "t")
+    clean.limit(2000).write.mode("overwrite").partitionBy("warc_day").parquet(table)
+
+    runner = ValidationRunner(_suite(), str(tmp_path / "m"), partition_col="warc_day")
+    df = spark.read.parquet(table)
+    snaps1 = partition_snapshots(table, "warc_day")
+    r1 = runner.run(df, partition_snapshots=snaps1)
+    assert r1.skipped_partitions == [] and len(r1.processed_partitions) == len(snaps1)
+
+    # append rows to exactly one partition
+    target = r1.processed_partitions[0]
+    clean.filter(F.col("warc_day").cast("string") == target).limit(50).write.mode(
+        "append"
+    ).partitionBy("warc_day").parquet(table)
+
+    snaps2 = partition_snapshots(table, "warc_day")
+    changed = [p for p in snaps2 if snaps1.get(p) != snaps2[p]]
+    assert changed == [target]
+
+    r2 = runner.run(spark.read.parquet(table), partition_snapshots=snaps2)
+    assert r2.processed_partitions == [target]
+    assert sorted(r2.skipped_partitions) == sorted(set(snaps2) - {target})
+
+    # third run: nothing changed, nothing runs
+    r3 = runner.run(spark.read.parquet(table), partition_snapshots=snaps2)
+    assert r3.processed_partitions == []
