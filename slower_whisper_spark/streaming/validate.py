@@ -66,6 +66,40 @@ def validate_stream(
     return writer.start()
 
 
+def session_window_turns(
+    stream_df: DataFrame,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    gap: str = "30 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation — the streaming twin of the reference's
+    turn-finalization triggers (speaker change / pause gap / max buffer,
+    ref: transcription/streaming_semantic.py:381-434): a turn closes when no
+    event arrives for ``gap``; the watermark bounds how late a straggler can
+    reopen it. Built on Spark's native ``session_window`` so state handling,
+    late-data semantics, and output finalization are the engine's, not ours.
+    Works identically on a batch DataFrame (tested both ways)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("turn_start"),
+            F.max(ts_col).alias("turn_end"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "turn_start",
+            "turn_end",
+            "n_events",
+        )
+    )
+
+
 def windowed_lang_counts(
     stream_df: DataFrame,
     *,

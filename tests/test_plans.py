@@ -82,3 +82,42 @@ def test_partition_pruning_on_day_filter(docs_parquet):
     s = explain_str(q)
     # partition filters appear as PartitionFilters on the scan node
     assert "PartitionFilters" in s and "warc_day" in s.split("PartitionFilters", 1)[1][:200]
+
+
+def test_revenue_forecast_pushdown(spark):
+    """Q6-style query: every filter must reach the parquet scan and the scan
+    must be pruned to the referenced columns."""
+    import __spark_entry__ as em
+
+    df = em.queries()["revenue_forecast"](spark, "/root/testdata/sf0.001")
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols, cols
+
+
+def test_promo_revenue_broadcasts_part_dim(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["promo_revenue"](spark, "/root/testdata/sf0.001")
+    assert has_broadcast_join(df)
+
+
+def test_late_ship_orders_is_semi_join(spark):
+    """EXISTS must compile to a semi join: no fact-row duplication node."""
+    import __spark_entry__ as em
+
+    df = em.queries()["late_ship_orders"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+
+
+def test_keyword_extract_single_scan(spark):
+    """One scan: K conditional sums in one aggregate (no union of K scans)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["keyword_extract"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan

@@ -65,3 +65,45 @@ def test_windowed_lang_counts_schema(docs_small, tmp_path, spark):
     pdf = spark.sql("select * from langcounts").toPandas()
     assert {"window_start", "lang", "n"} <= set(pdf.columns)
     assert pdf["n"].sum() == 1000
+
+
+def test_session_window_turns_batch_and_stream(spark, tmp_path):
+    """Gap-based turn finalization via native session_window: correct turn
+    boundaries in batch mode, and the same query runs as a stream."""
+    from datetime import datetime
+
+    from slower_whisper_spark.streaming.validate import session_window_turns
+
+    rows = [
+        ("u1", datetime(2026, 7, 1, 10, 0, 0)),
+        ("u1", datetime(2026, 7, 1, 10, 0, 10)),   # same turn (gap 10s < 30s)
+        ("u1", datetime(2026, 7, 1, 10, 5, 0)),    # new turn (gap 4m50s)
+        ("u2", datetime(2026, 7, 1, 10, 0, 5)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = session_window_turns(df, gap="30 seconds").toPandas()
+    u1 = out[out["url"] == "u1"].sort_values("turn_start")
+    assert len(u1) == 2 and list(u1["n_events"]) == [2, 1]
+    assert len(out[out["url"] == "u2"]) == 1
+
+    # same plan as a real stream. Append mode emits a session only once the
+    # WATERMARK passes its end — a far-future flush event advances it past
+    # every real session (its own session stays pending, by design).
+    flush = spark.createDataFrame([("flush", datetime(2026, 7, 1, 11, 0, 0))], df.schema)
+    src = str(tmp_path / "turns_src")
+    df.unionByName(flush).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got = []
+    q = (
+        session_window_turns(stream, gap="30 seconds")
+        .writeStream.foreachBatch(lambda b, i: got.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "turns_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = sum(len(p) for p in got)
+    # append mode emits only watermark-finalized sessions; with a bounded
+    # source every session closes by stream end
+    assert total == 3
