@@ -593,6 +593,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = q_ann_lsh
 
+    def q_ann_ivf(spark, sf):
+        """IVF ANN top-5 — the second scale path next to LSH: corpus routes
+        to seeded-centroid cells, queries probe their 4 best cells, exact
+        re-rank on the union. Centroids are deterministic literals, so the
+        DuckDB oracle replays the exact routing; output is the top-k SET."""
+        from slower_whisper_spark.operators import ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4)
+        return out.select("query_id", "neighbor_id").orderBy("query_id", "neighbor_id")
+
+    q["ann_ivf"] = q_ann_ivf
+
     def q_embedding_norms(spark, sf):
         """Vector math in higher-order functions: L2 norm + mean component."""
         emb = _t(spark, sf, "embeddings")
@@ -994,6 +1007,47 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _ann_ivf_oracle() -> str:
+    """Replay IVF routing in DuckDB: 16 seeded row-normalized centroid
+    literals, corpus → arg-max cell, query → top-4 cells (ORDER BY score
+    DESC, cid — matching the numpy stable argsort), exact cosine re-rank."""
+    from slower_whisper_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(dim=64, n_centroids=16, seed=42)
+    branches = []
+    for cid, c in enumerate(cents):
+        arr = ", ".join(repr(float(x)) for x in c)
+        branches.append(
+            f"SELECT vec_id, {cid} AS cid, list_inner_product(v, [{arr}]::DOUBLE[]) AS s FROM e"
+        )
+    s_sql = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      {s_sql}
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM s),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 4 AND vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE a.vec_id <> p.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, neighbor_id) AS rank
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id FROM scored WHERE rank <= 5
+    ORDER BY query_id, neighbor_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pattern_violations": f"""
@@ -1258,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _JACCARD_ORACLE,
         "simhash_neardup": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "ann_bruteforce": """
             SELECT query_id, neighbor_id FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

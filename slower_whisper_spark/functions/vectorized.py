@@ -58,6 +58,31 @@ def make_lsh_buckets(tables):
     return lsh_buckets
 
 
+def make_ivf_assign(centroids, n_probe=1):
+    """IVF cell assignment in one numpy matmul per Arrow batch: dot against
+    all (row-normalized) centroids → the top-``n_probe`` centroid ids,
+    ordered by score desc (ties → lower id, matching SQL
+    ``ORDER BY s DESC, cid``). n_probe=1 is the corpus-side assignment;
+    queries probe several cells."""
+    import numpy as _np
+
+    C = _np.ascontiguousarray(centroids.T)  # (dim, n_centroids)
+
+    @pandas_udf("array<long>")
+    def ivf_assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = _np.array(v.tolist(), dtype=_np.float64)  # (batch, dim)
+        S = M @ C  # (batch, n_centroids)
+        # stable sort on -score: ties keep ascending centroid id, matching
+        # the SQL oracle's ORDER BY s DESC, cid
+        order = _np.argsort(-S, axis=1, kind="stable")
+        top = order[:, :n_probe].astype(_np.int64)
+        return pd.Series(list(top))
+
+    return ivf_assign
+
+
 def make_bloom_might_contain(bc):
     """Vectorized Bloom membership test over xxhash64-hashed keys.
 

@@ -20,6 +20,7 @@ from slower_whisper_spark.operators.sessionize import (
 from slower_whisper_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "sessionize",
     "cosine_topk",
     "embedding_near_duplicates",
+    "ivf_topk",
     "lsh_bucketed_topk",
 ]
