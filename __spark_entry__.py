@@ -534,15 +534,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = q_ngram_jaccard
 
     def q_minhash_neardup(spark, sf):
-        """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8. With 32
-        bands of 2 rows, P(miss | jaccard=0.8) = 0.36^32 ≈ 6e-15, and the
-        verification filter makes every surviving pair exactly correct — so
-        the output equals the exact Jaccard pair set and shares its DuckDB
-        oracle (recall vs the exact set also asserted in tests)."""
+        """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8. 16 bands
+        of 4 rows put the LSH knee at s≈0.42 — boilerplate-similarity pairs
+        (s≈0.2-0.3) no longer flood candidate verification, which round 2's
+        bands=32 config did (knee s≈0.18, 60% of the bench suite wall).
+        P(miss | jaccard=0.8) = (1-0.8^4)^16 ≈ 2.2e-4 per qualifying pair;
+        the verification filter makes every surviving pair exactly correct,
+        and the DuckDB exact-Jaccard oracle comparison itself proves the
+        output EQUALS the exact pair set at the tested scale (recall vs the
+        exact set also asserted in tests)."""
         from slower_whisper_spark.operators import jaccard_pairs, minhash_lsh_candidates
 
         docs = _t(spark, sf, "documents")
-        cand = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=64, bands=32)
+        cand = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=64, bands=16)
         return (
             jaccard_pairs(docs, "text", "doc_id", threshold=0.8, candidates=cand)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -588,7 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from slower_whisper_spark.operators import lsh_bucketed_topk
 
         emb = _t(spark, sf, "embeddings")
-        out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=16)
+        out = lsh_bucketed_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=16, dim=64
+        )
         return out.select("query_id", "neighbor_id").orderBy("query_id", "neighbor_id")
 
     q["ann_lsh"] = q_ann_lsh
@@ -601,7 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from slower_whisper_spark.operators import ivf_topk
 
         emb = _t(spark, sf, "embeddings")
-        out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4)
+        out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4, dim=64)
         return out.select("query_id", "neighbor_id").orderBy("query_id", "neighbor_id")
 
     q["ann_ivf"] = q_ann_ivf
@@ -896,9 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # shingle semantics exactly (normalize → split → n-grams; short docs get one
 # whole-text shingle; DISTINCT shingles per doc). Shared by ngram_jaccard
 # (exact path, stop-shingle bound inert at sf0.01: max shingle df = 7) and
-# minhash_neardup (LSH recall at 32 bands × 2 rows is 1 - 0.36^32 ≈ 1-6e-15,
-# and jaccard-verification makes survivors exact, so both queries emit the
-# same pair set).
+# minhash_neardup (16 bands × 4 rows: P(miss | s=0.8) ≈ 2.2e-4 per pair, and
+# jaccard-verification makes survivors exact — the oracle comparison itself
+# verifies the LSH output equals the exact pair set at the tested scale).
 _JACCARD_ORACLE = r"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -58,9 +58,23 @@ def detect_version(spec: dict[str, Any]) -> int:
     """Spec FORMAT version — distinct from the suite's own semantic
     ``version`` number: a suite at version 1 whose spec already uses the
     ``rules`` key is FORMAT v2 and must not be mangled by the v1→v2
-    migration (which reads ``checks``). Structure wins; the explicit
-    ``version`` field is only a fallback for rule-less specs
+    migration (which reads ``checks``). Precedence:
+
+    1. an explicit ``spec_format`` field (emitted by ``ConstraintSuite.spec``
+       since format 2) — so a future format 3 that still carries a ``rules``
+       key is NOT misdetected as 2 (ADVICE r2);
+    2. structure (``rules`` ⇒ 2, ``checks`` ⇒ 1) — disambiguates the known
+       v1-semantic-version-vs-format collision for old lockfiles written
+       before ``spec_format`` existed;
+    3. the explicit ``version`` field, only for rule-less specs
     (ref detect shape: transcription/schema/migration.py:159-195)."""
+    if "spec_format" in spec and isinstance(spec["spec_format"], int):
+        fmt = spec["spec_format"]
+        if fmt >= 2 and "checks" in spec and "rules" not in spec:
+            raise SuiteVersionError(
+                f"spec_format={fmt} conflicts with v1 'checks' structure"
+            )
+        return fmt
     if "rules" in spec:
         return 2
     if "checks" in spec:
@@ -95,7 +109,12 @@ def _migrate_v1_to_v2(spec: dict[str, Any]) -> dict[str, Any]:
         rule["allow_null"] = bool(ch.get("allow_null", False))
         rule["rule_id"] = ch.get("id") or f"{rtype}({rule['column']})"
         rules.append(rule)
-    return {"name": spec.get("name", "migrated-suite"), "version": 2, "rules": rules}
+    return {
+        "name": spec.get("name", "migrated-suite"),
+        "version": 2,
+        "spec_format": 2,
+        "rules": rules,
+    }
 
 
 DEFAULT_REGISTRY = MigrationRegistry()

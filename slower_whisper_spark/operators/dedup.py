@@ -21,8 +21,12 @@ All candidate generation is shuffle-frugal and JVM-side:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from slower_whisper_spark.functions.text import (
     hashed_shingle_rows,
@@ -122,12 +126,18 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int = 200,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, n_shared_bands) that share ≥1 LSH band
     bucket. rows_per_band = num_hashes/bands sets the similarity knee:
     P(candidate) = 1-(1-s^r)^b. Buckets larger than max_bucket_size are
     dropped (non-discriminative band values — the standard LSH guard against
-    candidate-pair blowup on low-entropy corpora)."""
+    candidate-pair blowup on low-entropy corpora).
+
+    ``persisted``: pass a list to receive the internally persisted band-rows
+    DataFrame so a long-running driver can unpersist it after the final
+    result is materialized (the SuiteResult.unpersist pattern); without it
+    the cache lives until session end."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -147,6 +157,8 @@ def minhash_lsh_candidates(
     # band_rows feeds three consumers (bucket sizes, both join sides):
     # persist so the signature agg runs once
     band_rows = band_rows.persist()
+    if persisted is not None:
+        persisted.append(band_rows)
 
     # drop giant buckets before the self-join (two-phase count, small output)
     if max_bucket_size:
@@ -178,6 +190,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
     max_df: int | None = 1000,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -191,7 +204,23 @@ def jaccard_pairs(
     (Jaccard ≥ 0.8) shares ~89%+ of its shingles, so it is only missed if
     EVERY shared shingle is a stop-shingle — possible only for degenerate
     near-constant corpora; pass ``max_df=None`` there for the exact-complete
-    path. Verification on surviving candidates is always exact."""
+    path. Verification on surviving candidates is always exact.
+
+    No silent caps: when pruning is active the stop-shingle set is computed
+    EAGERLY (one bounded job — its groupBy had to run for pruning anyway),
+    its size is logged, and the returned DataFrame carries a
+    ``stop_shingle_stats`` attribute ``{"stop_shingles_pruned": n}``; n > 0
+    means the pair set MAY differ from the unbounded exact path. Eagerness
+    buys a better plan too: the (tiny) persisted stop set prunes via a
+    broadcast ANTI-join — no shuffle of the shingle rows for pruning, versus
+    the old semi-join against the (huge) rare-shingle set — and pruning is
+    skipped entirely when no shingle exceeds the bound. If the stop set is
+    itself too big to broadcast (>10^6: a pathologically boilerplate corpus)
+    it falls back to the shuffle semi-join.
+
+    ``persisted``: pass a list to receive internally persisted DataFrames
+    (the candidate pair set) for caller-controlled unpersist in long-running
+    drivers."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
 
     if candidates is not None:
@@ -201,21 +230,39 @@ def jaccard_pairs(
         # (small) pair set first: it is consumed twice (ids + final join)
         # and its upstream is the expensive LSH bucket join.
         candidates = candidates.select("id_a", "id_b").persist()
+        if persisted is not None:
+            persisted.append(candidates)
         cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         narrow = narrow.join(cand_ids, "id", "left_semi")
 
     rows = shingle_rows(narrow, "id", "__txt", n=shingle_n).dropDuplicates(["id", "shingle"])
     sh = rows.groupBy("id").agg(F.collect_list("shingle").alias("__sh"))
 
+    prune_stats: dict[str, int] | None = None
     if candidates is None:
         ex = rows.withColumnRenamed("shingle", "s")
         if max_df:
-            rare = (
-                ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_df)
-                .drop("__df")
-            )
-            ex = ex.join(rare, "s", "left_semi")
+            counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+            stop = counts.filter(F.col("__df") > max_df).select("s").persist()
+            n_stop = stop.count()
+            prune_stats = {"stop_shingles_pruned": n_stop}
+            if n_stop:
+                _log.warning(
+                    "jaccard_pairs: stop-shingle pruning (max_df=%d) removed %d "
+                    "shingles from candidate generation — the pair set may "
+                    "differ from the unbounded exact path",
+                    max_df,
+                    n_stop,
+                )
+                if persisted is not None:
+                    persisted.append(stop)
+                if n_stop <= 1_000_000:
+                    ex = ex.join(F.broadcast(stop), "s", "left_anti")
+                else:  # stop set too big to broadcast: shuffle semi-join on rare
+                    rare = counts.filter(F.col("__df") <= max_df).drop("__df")
+                    ex = ex.join(rare, "s", "left_semi")
+            else:
+                stop.unpersist()
         candidates = (
             ex.alias("a")
             .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -231,7 +278,7 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     union = F.size(F.array_union("__sha", "__shb")).cast("double")
-    return (
+    out = (
         joined.select(
             "id_a",
             "id_b",
@@ -239,6 +286,9 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if prune_stats is not None:
+        out.stop_shingle_stats = prune_stats
+    return out
 
 
 # --------------------------------------------------------------------- #

@@ -191,6 +191,7 @@ def interval_overlap_pairs(
     start_col: str,
     end_col: str,
     bucket_width: float | None = None,
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """General interval-overlap self-join (J4's range-join form):
     pairs (id_a < id_b) within a key whose [start, end) intervals overlap
@@ -207,7 +208,16 @@ def interval_overlap_pairs(
     one bucket. Results are identical to the unbucketed path (tested).
     Pick a width of the same order as a typical interval length: wider
     buckets → fewer replicas per interval but more per-reducer comparisons.
-    ``None`` keeps the plain per-key equi-join (small-key path)."""
+    ``None`` keeps the plain per-key equi-join (small-key path).
+
+    Degenerate-interval guard: an interval spanning more than
+    ``max_buckets_per_interval`` buckets would replicate unboundedly under
+    explode (a 10^6×-width outlier → 10^6 rows). Such intervals are instead
+    routed through the plain per-key join against ALL intervals of their key
+    — still exact (nothing is dropped or clamped; tested against the
+    unbucketed path), and cheap as long as degenerate intervals are rare,
+    which is what makes them degenerate. The rest stay on the bucketed
+    path."""
     a = df.select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("id_a"),
@@ -228,16 +238,32 @@ def interval_overlap_pairs(
     else:
         w = float(bucket_width)
 
+        def n_buckets(s: str, e: str) -> F.Column:
+            return F.floor(F.col(e) / w).cast("long") - F.floor(F.col(s) / w).cast("long") + 1
+
         def bucketed(side: DataFrame, s: str, e: str) -> DataFrame:
             buckets = F.sequence(
                 F.floor(F.col(s) / w).cast("long"), F.floor(F.col(e) / w).cast("long")
             )
             return side.withColumn("__bkt", F.explode(buckets))
 
-        ab = bucketed(a, "sa", "ea")
-        bb = bucketed(b, "sb", "eb")
+        a_short = a.filter(n_buckets("sa", "ea") <= max_buckets_per_interval)
+        b_short = b.filter(n_buckets("sb", "eb") <= max_buckets_per_interval)
+        a_long = a.filter(n_buckets("sa", "ea") > max_buckets_per_interval)
+        b_long = b.filter(n_buckets("sb", "eb") > max_buckets_per_interval)
+
+        ab = bucketed(a_short, "sa", "ea")
+        bb = bucketed(b_short, "sb", "eb")
         dedup = F.col("__bkt") == F.floor(F.greatest(F.col("sa"), F.col("sb")) / w).cast("long")
-        pairs = ab.join(bb, ["k", "__bkt"]).filter(overlap_pred & dedup).drop("__bkt")
+        short_pairs = ab.join(bb, ["k", "__bkt"]).filter(overlap_pred & dedup).drop("__bkt")
+
+        # pairs touching ≥1 degenerate-long interval: plain per-key join.
+        # (long, any) ∪ (short, long) covers every such pair exactly once —
+        # both-long pairs only match the first arm, mixed pairs exactly one.
+        long_pairs = a_long.join(b, "k").filter(overlap_pred).unionByName(
+            a_short.join(b_long, "k").filter(overlap_pred)
+        )
+        pairs = short_pairs.unionByName(long_pairs)
 
     overlap = F.least(F.col("ea"), F.col("eb")) - F.greatest(F.col("sa"), F.col("sb"))
     return pairs.select("k", "id_a", "id_b", overlap.alias("overlap"))

@@ -68,6 +68,16 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(n_tables, n_planes, dim)).astype(float)
 
 
+def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality: the explicit parameter when given, else one
+    bounded ``first()`` probe (arrays carry no length in the schema). Callers
+    on fixed-dim corpora should pass ``dim`` — it removes a driver round-trip
+    per operator call."""
+    if dim is not None:
+        return dim
+    return len(df.select(vec_col).first()[0])
+
+
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     """Sign-bit bucket id for ONE table as a pure Column expression. Kept as
     the didactic/declarative form; the bucketed operators below use
@@ -99,36 +109,43 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables, exact
     cosine re-rank on candidates only. Buckets come from one numpy-matmul
-    Arrow UDF (all tables at once); re-rank cosines stay JVM-side."""
+    Arrow UDF (all tables at once); re-rank cosines stay JVM-side.
+
+    The multi-table candidate dedup runs over INT PAIRS ONLY — the bucket
+    rows carry no vector payload, so the ``distinct()`` exchange shuffles
+    ~16 bytes/row instead of the ~1 KB/row a 64-dim double array would cost
+    (at 10^9 candidates that is ~50× shuffle volume). Vectors re-join after
+    the dedup: corpus side by id, query side broadcast."""
     from slower_whisper_spark.functions.vectorized import make_lsh_buckets
 
-    dim = len(corpus.select(vec_col).first()[0])
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    tables = _hyperplanes(_vec_dim(corpus, vec_col, dim), n_planes, n_tables, seed)
     bucket_udf = make_lsh_buckets(tables)
 
     def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         return df.select(
             F.col(idc).alias(out_id),
-            F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"),
             F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
         )
 
     cb = bucketed(corpus, id_col, "neighbor_id")
     qb = bucketed(queries, query_id_col, "query_id")
-    cand = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
-        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
-        .distinct()
-    )
+    cand = cb.join(F.broadcast(qb), ["table", "bucket"]).select("query_id", "neighbor_id").distinct()
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")).alias("cos"),
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -156,6 +173,8 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN top-k — the second scale path next to hyperplane LSH: corpus
     vectors route to their nearest centroid CELL (one cell each); each query
@@ -163,11 +182,17 @@ def ivf_topk(
     probed cells. At 10^9+ vectors the corpus is effectively partitioned by
     cell (write it bucketed/partitioned by cell id for pruning); a probe
     touches n_probe/n_centroids of the data. Assignment is one numpy matmul
-    per Arrow batch; recall grows with n_probe (tested vs brute force)."""
+    per Arrow batch; recall grows with n_probe (tested vs brute force).
+
+    ``centroids`` swaps in trained cells (see ``train_ivf_centroids`` for the
+    sampled-kmeans path) — the routing plan is identical either way."""
     from slower_whisper_spark.functions.vectorized import make_ivf_assign
 
-    dim = len(corpus.select(vec_col).first()[0])
-    cents = _ivf_centroids(dim, n_centroids, seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _ivf_centroids(_vec_dim(corpus, vec_col, dim), n_centroids, seed)
     assign1 = make_ivf_assign(cents, n_probe=1)
     assignp = make_ivf_assign(cents, n_probe=n_probe)
 
@@ -191,6 +216,53 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical-kmeans IVF centroids from a bounded sample.
+
+    A ≤``sample_size`` uniform sample is collected to the driver (one count +
+    one sample job — training-time cost, not query-time) and Lloyd-iterated
+    in numpy: assign = argmax(X·Cᵀ), update = row-normalized mean, empty
+    cells re-seed from the sample. Deterministic for a fixed seed. At 100 TB
+    the sample stays 10^5 rows regardless of corpus size — training cost is
+    O(sample · n_centroids · dim) on the driver, and the resulting centroids
+    feed ``ivf_topk(..., centroids=...)`` unchanged. Trained cells track the
+    corpus's real cluster structure, so probes recover far more true
+    neighbours than seeded random directions at the same n_probe (asserted
+    in tests vs the brute-force oracle)."""
+    n = df.count()
+    frac = min(1.0, sample_size / max(n, 1) * 1.2)  # slight over-sample, then cap
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=float)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    if len(C) < n_centroids:  # degenerate tiny sample: pad with random directions
+        C = np.vstack([C, _ivf_centroids(X.shape[1], n_centroids - len(C), seed + 1)])
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+            else:
+                C[j] = X[rng.randint(len(X))]
+    return C
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,
@@ -200,16 +272,19 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     n_tables: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
-    buckets + exact verification."""
+    buckets + exact verification. As in ``lsh_bucketed_topk``, the
+    multi-table dedup ``distinct()`` runs on the INT PAIR only — vectors
+    re-join (by id, both sides corpus-resident) for the exact re-rank, so the
+    dedup exchange never carries array payloads."""
     from slower_whisper_spark.functions.vectorized import make_lsh_buckets
 
-    tables = _hyperplanes(len(df.select(vec_col).first()[0]), n_planes, n_tables, seed)
+    tables = _hyperplanes(_vec_dim(df, vec_col, dim), n_planes, n_tables, seed)
     bucket_udf = make_lsh_buckets(tables)
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
         F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
     )
     cand = (
@@ -220,15 +295,13 @@ def embedding_near_duplicates(
             & (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.id") < F.col("c.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("c.__v").alias("__vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
         .distinct()
     )
+    vec = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v"))
     return (
-        cand.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        cand.join(vec.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vec.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -37,8 +37,11 @@ class HashInvariant(TableRule):
         """``expected_version``: identity of the expected-hash table's
         CONTENT, folded into spec() → suite_hash → checkpoint validity.
         Pass a version string when the caller tracks it (e.g. an Iceberg
-        snapshot id — free); otherwise it is fingerprinted once lazily
-        (count + xor-hash aggregate, one job) on first spec() use. Without
+        snapshot id — free); otherwise it is fingerprinted EAGERLY at
+        construction (count + xor-hash aggregate, one bounded job) so
+        suite_hash never depends on when spec() was first called and no
+        getter hides a Spark job (ADVICE r2). Rebuild the rule if the
+        expected table's contents change in the same driver session. Without
         this a changed expected table would leave checkpointed partitions
         'done' and never re-validated."""
         self.column = column
@@ -47,15 +50,15 @@ class HashInvariant(TableRule):
         self.expected_hash_col = expected_hash_col
         self.missing_is_violation = missing_is_violation
         self.rule_id = rule_id or f"hash_invariant({column})"
+        if expected_version is None:
+            from slower_whisper_spark.rules.base import content_fingerprint
+
+            expected_version = content_fingerprint(
+                expected_df, [expected_key, expected_hash_col]
+            )
         self._expected_version = expected_version
 
     def spec(self) -> dict[str, Any]:
-        if self._expected_version is None:
-            from slower_whisper_spark.rules.base import content_fingerprint
-
-            self._expected_version = content_fingerprint(
-                self.expected_df, [self.expected_key, self.expected_hash_col]
-            )
         return {
             "type": "hash_invariant",
             "column": self.column,

@@ -71,7 +71,12 @@ class ForeignKey(TableRule):
         ``dim_version``: content identity of the dimension, folded into
         spec() → suite_hash → checkpoint validity (a changed dimension must
         invalidate 'done' partitions). Pass a snapshot id when available;
-        otherwise fingerprinted lazily once (count + xor-hash aggregate)."""
+        otherwise the dimension is fingerprinted EAGERLY here (count +
+        xor-hash aggregate, one bounded job at construction time) — eager so
+        suite_hash never depends on when spec() was first called and a getter
+        never hides a Spark job (ADVICE r2). If the dimension DataFrame's
+        contents change later in the same driver session, rebuild the rule
+        (the fingerprint identifies construction-time content)."""
         self.fk_expr = fk_expr
         self.dim_df = dim_df
         self.dim_col = dim_col
@@ -80,13 +85,13 @@ class ForeignKey(TableRule):
         self.allow_null = allow_null
         self.rule_id = rule_id or f"fk({fk_expr})"
         self._cached_bloom_udf = None
+        if dim_version is None:
+            from slower_whisper_spark.rules.base import content_fingerprint
+
+            dim_version = content_fingerprint(dim_df, [dim_col])
         self._dim_version = dim_version
 
     def spec(self) -> dict[str, Any]:
-        if self._dim_version is None:
-            from slower_whisper_spark.rules.base import content_fingerprint
-
-            self._dim_version = content_fingerprint(self.dim_df, [self.dim_col])
         return {
             "type": "foreign_key",
             "fk_expr": self.fk_expr,

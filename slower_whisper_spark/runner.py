@@ -88,6 +88,16 @@ class ValidationRunner:
 
         if partitions is None and partition_snapshots is not None:
             partitions = list(partition_snapshots)
+            if not partitions and not df.isEmpty():
+                # a non-hive layout or mistyped partition column yields {}
+                # from partition_snapshots — gate-passing with zero rows
+                # validated would be a silent green gate (ADVICE r2)
+                raise ValueError(
+                    "incremental mode discovered no partitions but the table has "
+                    f"data: partition_snapshots found no '{self.partition_col}' "
+                    "hive directories. Pass partitions explicitly or run without "
+                    "incremental discovery."
+                )
         if partitions is None:
             # metadata-only when the caller can supply them (Iceberg/hive
             # layout); otherwise one distinct scan

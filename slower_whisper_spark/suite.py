@@ -107,6 +107,10 @@ class ConstraintSuite:
         return {
             "name": self.name,
             "version": self.version,
+            # spec FORMAT version, distinct from the suite's semantic
+            # ``version`` — removes the structural-detection ambiguity for
+            # future formats that keep a "rules" key (migrate.detect_version)
+            "spec_format": 2,
             "rules": [r.spec() for r in self.rules],
         }
 

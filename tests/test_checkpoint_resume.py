@@ -218,3 +218,19 @@ def test_incremental_per_partition_snapshots(spark, docs_small, tmp_path):
     # third run: nothing changed, nothing runs
     r3 = runner.run(spark.read.parquet(table), partition_snapshots=snaps2)
     assert r3.processed_partitions == []
+
+
+def test_incremental_empty_snapshots_refuses_silent_green(spark, docs_small, tmp_path):
+    """A non-hive layout (partition_snapshots → {}) with a data-bearing table
+    must raise, not gate-pass having validated zero rows (ADVICE r2)."""
+    import pytest as _pytest
+
+    from slower_whisper_spark import ConstraintSuite, NotNull
+    from slower_whisper_spark.runner import ValidationRunner
+
+    docs, _, _ = docs_small
+    runner = ValidationRunner(
+        ConstraintSuite("s", [NotNull("url")]), str(tmp_path / "m.jsonl")
+    )
+    with _pytest.raises(ValueError, match="no partitions"):
+        runner.run(docs, partition_snapshots={})

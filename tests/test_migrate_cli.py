@@ -97,3 +97,22 @@ def test_cli_validate_roundtrip(tmp_path, docs_small, spark):
     # manifest mode with resume
     mdir = str(tmp_path / "manifest")
     assert main(["validate", table, "--suite", str(suite_path), "--manifest", mdir]) == 0
+
+
+def test_detect_version_explicit_spec_format():
+    """spec_format wins over structure: a hypothetical format-3 spec that
+    still carries a 'rules' key must NOT be misdetected as 2 (ADVICE r2);
+    a spec_format>=2 claim over v1 'checks' structure is a conflict."""
+    assert detect_version({"spec_format": 3, "version": 3, "rules": []}) == 3
+    assert detect_version({"spec_format": 2, "version": 1, "rules": []}) == 2
+    with pytest.raises(SuiteVersionError):
+        detect_version({"spec_format": 2, "checks": []})
+
+
+def test_suite_spec_carries_spec_format(spark):
+    from slower_whisper_spark import ConstraintSuite, NotNull
+
+    s = ConstraintSuite("x", [NotNull("url")], version=7)
+    spec = s.spec()
+    assert spec["spec_format"] == 2 and spec["version"] == 7
+    assert detect_version(spec) == 2

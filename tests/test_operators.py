@@ -272,3 +272,87 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert r4 >= 0.3
     assert r8 >= r4
     assert recall(16) == 1.0  # probing every cell degenerates to exact
+
+
+def test_degenerate_long_interval_no_bucket_blowup(spark):
+    """An interval spanning ~10^9 buckets must NOT explode to 10^9 rows: it
+    routes through the plain per-key join (exact, nothing dropped) while
+    normal intervals stay bucketed. Result must equal the unbucketed path."""
+    from slower_whisper_spark.operators.sessionize import interval_overlap_pairs
+
+    rows = [("k", i, float(i * 10), float(i * 10 + 15)) for i in range(50)]
+    rows.append(("k", 100, 0.0, 2_000_000_000.0))  # degenerate: 2e9 buckets at width 1
+    rows.append(("k", 101, 5.0, 1_500_000_000.0))  # second long one (long×long pair)
+    df = spark.createDataFrame(rows, "k string, id long, s double, e double")
+
+    def pairset(bw):
+        out = interval_overlap_pairs(
+            df, key_col="k", id_col="id", start_col="s", end_col="e", bucket_width=bw
+        )
+        return {(r["k"], r["id_a"], r["id_b"], round(r["overlap"], 9)) for r in out.collect()}
+
+    plain = pairset(None)
+    assert pairset(1.0) == plain  # completes (guard engaged) and stays exact
+    # both long intervals overlap everything incl. each other
+    assert ("k", 100, 101, 1_499_999_995.0) in plain
+
+
+def test_trained_ivf_centroids_beat_seeded(spark):
+    """Sampled-kmeans centroids on a CLUSTERED corpus: recall@10 at
+    n_probe=1 must beat training-free seeded centroids — trained cells
+    recover the true clusters (each query's whole neighbourhood lives in
+    one cell), random directions split them. Deterministic seeds."""
+    import numpy as np
+    from slower_whisper_spark.operators import cosine_topk, ivf_topk
+    from slower_whisper_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(16, 16)) * 4.0
+    X = np.vstack([c + rng.normal(size=(125, 16)) for c in centers])  # 2000 vecs, 16 clusters
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))], "vec_id long, embedding array<double>"
+    ).cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)  # 20 queries across clusters
+    exact_sets = (
+        cosine_topk(emb, queries, k=10).toPandas().groupby("query_id")["neighbor_id"].apply(set)
+    )
+
+    def recall(centroids):
+        approx = ivf_topk(
+            emb, queries, k=10, n_centroids=16, n_probe=1, seed=7, dim=16, centroids=centroids
+        ).toPandas()
+        sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+        return sum(
+            len(exact_sets[q] & sets.get(q, set())) / 10 for q in exact_sets.index
+        ) / len(exact_sets.index)
+
+    trained = train_ivf_centroids(emb, vec_col="embedding", n_centroids=16, n_iter=10, seed=7)
+    r_seeded, r_trained = recall(None), recall(trained)
+    assert r_trained > r_seeded, (r_trained, r_seeded)
+    assert r_trained >= 0.9, r_trained  # kmeans recovers the 16 true clusters
+
+
+def test_jaccard_prune_stats_and_persisted(spark):
+    """'No silent caps': with max_df active the result carries
+    stop_shingle_stats reporting how many shingles pruning removed (and a
+    pruned run still verifies exactly on survivors); the persisted list
+    receives internally cached DataFrames for caller unpersist."""
+    rows = [(i, f"common shingle words here unique{i} tail{i} more{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_pairs(df, "text", "doc_id", threshold=0.9, max_df=5)
+    out.collect()
+    # 'common shingle words'/'shingle words here' appear in all 10 docs
+    assert out.stop_shingle_stats["stop_shingles_pruned"] >= 1
+
+    # no pruning triggered → stats report zero
+    out2 = jaccard_pairs(df, "text", "doc_id", threshold=0.9, max_df=100)
+    assert out2.stop_shingle_stats["stop_shingles_pruned"] == 0
+
+    held: list = []
+    cand = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, bands=8, persisted=held)
+    verified = jaccard_pairs(df, "text", "doc_id", threshold=0.9, candidates=cand, persisted=held)
+    verified.collect()
+    assert len(held) == 2  # band_rows + candidate pair set
+    for d in held:
+        assert d.storageLevel.useMemory  # actually persisted
+        d.unpersist()

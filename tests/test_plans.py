@@ -121,3 +121,36 @@ def test_keyword_extract_single_scan(spark):
     df = em.queries()["keyword_extract"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1, plan
+
+
+def test_ann_candidate_distinct_carries_no_vector_payload(spark):
+    """The multi-table LSH candidate dedup must shuffle int pairs only — a
+    distinct() over rows carrying 64-dim arrays is ~50× avoidable shuffle
+    volume at 10^9 candidates. Every distinct HashAggregate (functions=[])
+    in the plan must be payload-free."""
+    import __spark_entry__ as em
+
+    for qname in ("ann_lsh",):
+        df = em.queries()[qname](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        distinct_lines = [
+            l for l in plan.splitlines() if "HashAggregate" in l and "functions=[]" in l
+        ]
+        assert distinct_lines, plan[:800]  # the dedup exists
+        for l in distinct_lines:
+            assert "__v" not in l and "embedding" not in l and "__c" not in l, l
+
+
+def test_embedding_neardup_distinct_carries_no_vector_payload(spark):
+    from pyspark.sql import functions as F
+    from slower_whisper_spark.operators import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = embedding_near_duplicates(emb, threshold=0.9, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    distinct_lines = [
+        l for l in plan.splitlines() if "HashAggregate" in l and "functions=[]" in l
+    ]
+    assert distinct_lines, plan[:800]
+    for l in distinct_lines:
+        assert "__v" not in l and "embedding" not in l, l
