@@ -891,6 +891,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["monotonic_gaps"] = q_monotonic_gaps
 
+    # ---- JSON-ingest validation (SURVEY §1.2 ingest-time atoms) ------------ #
+    def q_json_ingest_violations(spark, sf):
+        """from_json PERMISSIVE + corrupt-record routing + MapType open-key /
+        value-range rules + discriminated-union payload checks, all folded
+        into ONE scan (collect-all-errors: array of per-rule verdict structs,
+        explode only failures). Corruptions are injected deterministically
+        from event_id so the DuckDB oracle (json_valid/json_keys/
+        json_extract) reproduces the exact violation set.
+        Ref contract: transcription/schemas/stream_event.schema.json:54-195
+        (14-type discriminated union; envelope additionalProperties:false)."""
+        from slower_whisper_spark.rules import (
+            DiscriminatedUnion,
+            JsonParsable,
+            MapKeysAllowed,
+            MapValueRange,
+        )
+
+        ev = _t(spark, sf, "events")
+        payload = (
+            F.when(F.col("event_id") % 97 == 0, F.substring("props", 1, 3))
+            .when(F.col("event_id") % 101 == 0, F.expr("replace(props, '}', ', \"zz\": 1}')"))
+            .otherwise(F.col("props"))
+        )
+        etype = F.when(F.col("event_id") % 103 == 0, F.lit("UNKNOWN_TYPE")).otherwise(
+            F.col("event_type")
+        )
+        base = ev.select("event_id", "value", payload.alias("payload"), etype.alias("etype"))
+        rules = [
+            JsonParsable("payload", "k INT", rule_id="json_corrupt"),
+            MapKeysAllowed("from_json(payload, 'map<string,int>')", ["k"], rule_id="open_keys"),
+            MapValueRange(
+                "from_json(payload, 'map<string,int>')", 0, 94, rule_id="k_range"
+            ),
+            DiscriminatedUnion(
+                "etype",
+                {
+                    "click": None,
+                    "view": None,
+                    "signup": None,
+                    "purchase": "value >= 10",
+                    "error": "value <= 190",
+                },
+                rule_id="event_union",
+            ),
+        ]
+        checks = F.array(
+            *[
+                F.struct(F.lit(r.rule_id).alias("rule_id"), r.predicate().alias("ok"))
+                for r in rules
+            ]
+        )
+        return (
+            base.select("event_id", F.explode(F.filter(checks, lambda c: ~c.ok)).alias("c"))
+            .select("event_id", F.col("c.rule_id").alias("rule_id"))
+            .orderBy("event_id", "rule_id")
+        )
+
+    q["json_ingest_violations"] = q_json_ingest_violations
+
     return q
 
 
@@ -1313,6 +1372,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, COALESCE(v_str, 'NULL') AS v_str
             FROM m WHERE v_str IS NULL OR try_cast(v_str AS DOUBLE) IS NULL
             ORDER BY event_id
+        """,
+        "json_ingest_violations": r"""
+            WITH base AS (
+              SELECT event_id, value,
+                CASE WHEN event_id % 97 = 0 THEN substring(props, 1, 3)
+                     WHEN event_id % 101 = 0 THEN replace(props, '}', ', "zz": 1}')
+                     ELSE props END AS payload,
+                CASE WHEN event_id % 103 = 0 THEN 'UNKNOWN_TYPE'
+                     ELSE event_type END AS etype
+              FROM events
+            )
+            SELECT event_id, rule_id FROM (
+              SELECT event_id, 'json_corrupt' AS rule_id FROM base
+              WHERE payload IS NULL OR NOT json_valid(payload)
+            UNION ALL
+              SELECT event_id, 'open_keys' FROM base
+              WHERE json_valid(payload)
+                AND len(list_filter(json_keys(payload), kk -> kk <> 'k')) > 0
+            UNION ALL
+              SELECT event_id, 'k_range' FROM base
+              WHERE json_valid(payload)
+                AND len(list_filter(json_keys(payload),
+                      kk -> TRY_CAST(json_extract_string(payload, '$.' || kk) AS INT) IS NULL
+                            OR TRY_CAST(json_extract_string(payload, '$.' || kk) AS INT) < 0
+                            OR TRY_CAST(json_extract_string(payload, '$.' || kk) AS INT) > 94)) > 0
+            UNION ALL
+              SELECT event_id, 'event_union' FROM base
+              WHERE NOT (CASE
+                    WHEN etype IN ('click', 'view', 'signup') THEN TRUE
+                    WHEN etype = 'purchase' THEN value >= 10
+                    WHEN etype = 'error' THEN value <= 190
+                    ELSE FALSE END)
+            ) ORDER BY event_id, rule_id
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_neardup": _JACCARD_ORACLE,

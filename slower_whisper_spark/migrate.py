@@ -146,6 +146,12 @@ def _build_drift(r: dict[str, Any]):
     )
 
 
+def _json_rules():
+    import slower_whisper_spark.rules.json_ingest as m
+
+    return m
+
+
 def suite_from_spec(spec: dict[str, Any]):
     """Recompile a v2 spec dict into a live ConstraintSuite (inverse of
     ``ConstraintSuite.spec()`` for the schema/row rule families)."""
@@ -176,6 +182,10 @@ def suite_from_spec(spec: dict[str, Any]):
         "conditional": lambda r: Conditional(r["when"], r["then"], rule_id=r["rule_id"], observed_expr=r.get("observed")),
         "unique": lambda r: _build_unique(r),
         "drift": lambda r: _build_drift(r),
+        "json_parsable": lambda r: _json_rules().JsonParsable(r["column"], r["schema_ddl"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
+        "map_keys_allowed": lambda r: _json_rules().MapKeysAllowed(r["map_expr"], r["allowed_keys"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", True)),
+        "map_value_range": lambda r: _json_rules().MapValueRange(r["map_expr"], min_value=r.get("min"), max_value=r.get("max"), rule_id=r.get("rule_id"), allow_null=r.get("allow_null", True)),
+        "discriminated_union": lambda r: _json_rules().DiscriminatedUnion(r["type_col"], r["branches"], rule_id=r.get("rule_id"), allow_null_type=r.get("allow_null_type", False)),
     }
     rules = []
     for r in spec.get("rules", []):

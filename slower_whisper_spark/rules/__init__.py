@@ -6,6 +6,13 @@ from slower_whisper_spark.rules.vectorized import Vectorized
 from slower_whisper_spark.rules.unique import Unique
 from slower_whisper_spark.rules.refint import ForeignKey
 from slower_whisper_spark.rules.invariant import HashInvariant
+from slower_whisper_spark.rules.json_ingest import (
+    DiscriminatedUnion,
+    JsonParsable,
+    MapKeysAllowed,
+    MapValueRange,
+    parse_json_column,
+)
 from slower_whisper_spark.rules.drift import Drift, Baseline, compute_baseline
 
 __all__ = [
@@ -26,6 +33,11 @@ __all__ = [
     "Unique",
     "ForeignKey",
     "HashInvariant",
+    "JsonParsable",
+    "MapKeysAllowed",
+    "MapValueRange",
+    "DiscriminatedUnion",
+    "parse_json_column",
     "Drift",
     "Baseline",
     "compute_baseline",
