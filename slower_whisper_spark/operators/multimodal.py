@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -134,9 +135,82 @@ def parse_media_header(b: bytes) -> dict:
     return out
 
 
+def decode_png_pixels(b: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode with nothing but stdlib zlib + numpy: IDAT
+    chunks concatenate to one zlib stream; scanlines un-filter per the PNG
+    spec (filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).
+
+    Supports the dominant web case — 8-bit depth, non-interlaced, gray /
+    gray+alpha / RGB / RGBA (color types 0/4/2/6). Palette, 16-bit and
+    Adam7-interlaced images return None (caller falls back to the hash
+    feature, documented). Returns (height, width, channels) uint8.
+
+    Row un-filtering is a numpy-per-row loop; Sub/Average/Paeth are
+    sequential within a row by definition (each pixel depends on the
+    previous), so those filters pay a per-byte Python loop — fine for the
+    thumbnail-scale images validated here; a production pipeline swaps in a
+    codec library behind the same decoder tier."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        w, h = struct.unpack(">II", b[16:24])
+        depth, ctype, interlace = b[24], b[25], b[28]
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if depth != 8 or interlace != 0 or channels is None or not w or not h:
+            return None
+        # chunk walk: concatenate every IDAT payload
+        idat, i = [], 8
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            cid = b[i + 4 : i + 8]
+            if cid == b"IDAT":
+                idat.append(b[i + 8 : i + 8 + clen])
+            if cid == b"IEND":
+                break
+            i += 12 + clen  # len + type + data + crc
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, IndexError, zlib.error):
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        cur = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 2:  # Up: fully vectorized (uint8 wraps = mod-256 per spec)
+            cur += prev
+        elif f == 1:  # Sub
+            for i2 in range(channels, stride):
+                cur[i2] = (int(cur[i2]) + int(cur[i2 - channels])) & 0xFF
+        elif f == 3:  # Average
+            for i2 in range(stride):
+                a = int(cur[i2 - channels]) if i2 >= channels else 0
+                cur[i2] = (int(cur[i2]) + ((a + int(prev[i2])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i2 in range(stride):
+                a = int(cur[i2 - channels]) if i2 >= channels else 0
+                bb = int(prev[i2])
+                c = int(prev[i2 - channels]) if i2 >= channels else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[i2] = (int(cur[i2]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+    return out.reshape(h, w, channels)
+
+
 def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
-    """Real features where the payload is raw samples; hash-fallback where
-    pixel data is compressed (needs a codec)."""
+    """Real features where the payload is decodable without a codec library
+    (WAV PCM, raw BMP, zlib-compressed PNG); hash-fallback for the rest
+    (JPEG/GIF entropy coding genuinely needs codecs)."""
     if meta["format"] == "wav":
         i, data = 12, None
         while i + 8 <= len(b):
@@ -154,6 +228,13 @@ def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
                 mean = float(np.mean(s) / 32768.0)
                 base = [rms, zc, peak, mean]
                 return (base + [0.0] * dim)[:dim]
+    if meta["format"] == "png":
+        px = decode_png_pixels(b)
+        if px is not None:
+            flat = px.reshape(-1, px.shape[2]).astype(np.float64) / 255.0
+            means, stds = flat.mean(axis=0), flat.std(axis=0)
+            base = [float(x) for x in means] + [float(x) for x in stds]
+            return (base + [0.0] * dim)[:dim]
     if meta["format"] == "bmp" and meta["width"]:
         off = struct.unpack("<I", b[10:14])[0]
         bits = struct.unpack("<H", b[28:30])[0]

@@ -124,3 +124,93 @@ def test_decode_media_headers_on_spark(spark):
     assert by["u3"]["meta"]["format"] == "bmp"
     assert by["u4"]["meta"]["format"] == "bin"
     assert all(len(r["feature"]) == 8 for _, r in out.iterrows())
+
+
+# ---------------------------------------------------------------- #
+# real PNG pixel decode (stdlib zlib + scanline un-filtering)
+# ---------------------------------------------------------------- #
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def encode_png(img: np.ndarray, filter_type: int) -> bytes:
+    """From-scratch PNG encoder applying ONE filter type to every row —
+    exercises each un-filter path against ground-truth pixels."""
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        raw.append(filter_type)
+        for i in range(w * ch):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if (i >= ch and y > 0) else 0
+            if filter_type == 0:
+                v = line[i]
+            elif filter_type == 1:
+                v = line[i] - a
+            elif filter_type == 2:
+                v = line[i] - b
+            elif filter_type == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - _paeth(a, b if y > 0 else 0, c)
+            raw.append(int(v) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_all_filters_roundtrip():
+    """Encode a known RGB bitmap with each of the 5 PNG filters, decode with
+    the stdlib path, assert byte-exact pixel recovery."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        got = decode_png_pixels(encode_png(img, ft))
+        assert got is not None, ft
+        assert got.shape == img.shape
+        assert (got == img).all(), f"filter {ft} mismatch"
+    # RGBA + grayscale channel counts
+    rgba = rng.randint(0, 256, size=(8, 9, 4), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png(rgba, 4)) == rgba).all()
+    gray = rng.randint(0, 256, size=(6, 7, 1), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png(gray, 2)) == gray).all()
+
+
+def test_png_real_features_exact_channel_means(spark):
+    """decode_media(decoder='headers') must return REAL per-band means/stds
+    for PNG now (not the hash fallback): build a known RGB bitmap, assert
+    exact channel statistics."""
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    img[..., 0] = 200  # R constant
+    img[..., 1] = 50   # G constant
+    img[:5, :, 2] = 0  # B: half 0, half 100 -> mean 50, std 50
+    img[5:, :, 2] = 100
+    png = encode_png(img, 2)
+    df = spark.createDataFrame([("u", bytearray(png))], "url string, html binary")
+    out = decode_media(df, decoder="headers", feature_dim=6).collect()[0]
+    f = out["feature"]
+    assert abs(f[0] - 200 / 255) < 1e-6 and abs(f[1] - 50 / 255) < 1e-6
+    assert abs(f[2] - 50 / 255) < 1e-6      # B mean
+    assert abs(f[3] - 0.0) < 1e-6 and abs(f[4] - 0.0) < 1e-6  # R,G std
+    assert abs(f[5] - 50 / 255) < 1e-6      # B std
+    assert out["meta"]["width"] == 10 and out["meta"]["format"] == "png"
