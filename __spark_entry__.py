@@ -403,6 +403,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["late_ship_orders"] = q_late_ship_orders
 
+    def q_waiting_suppliers(spark, sf):
+        """TPC-H Q21-style EXISTS + NOT EXISTS: suppliers who were the SOLE
+        late shipper on a multi-supplier order (late = shipped >90 days
+        after order date). EXISTS → left SEMI join, NOT EXISTS → left ANTI
+        join — no fact duplication, no distinct, no cartesian."""
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+                "late"
+            ),
+        )
+        l1 = l.filter(F.col("late"))
+        others = l.select(
+            F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+        )
+        other_late = l.filter(F.col("late")).select(
+            F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+        )
+        sole_late = (
+            l1.join(
+                others,
+                (F.col("l_orderkey") == F.col("o2_orderkey"))
+                & (F.col("l_suppkey") != F.col("o2_suppkey")),
+                "left_semi",
+            ).join(
+                other_late,
+                (F.col("l_orderkey") == F.col("o3_orderkey"))
+                & (F.col("l_suppkey") != F.col("o3_suppkey")),
+                "left_anti",
+            )
+        )
+        return (
+            sole_late.groupBy(F.col("l_suppkey").alias("suppkey"))
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("suppkey"))
+            .limit(10)
+        )
+
+    q["waiting_suppliers"] = q_waiting_suppliers
+
+    def q_idle_rich_customers(spark, sf):
+        """TPC-H Q22-style correlated scalar subquery: customers with
+        above-average positive balance and NO orders, rolled up per nation.
+        The scalar (global avg) enters the plan as a broadcast 1-row cross
+        join — how Catalyst executes scalar subqueries — and NOT EXISTS is a
+        left ANTI join against orders. No driver-side first()/collect()."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").select("o_custkey")
+        avg_bal = (
+            c.filter(F.col("c_acctbal") > 0)
+            .agg(F.avg("c_acctbal").alias("__avg_bal"))
+        )
+        rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+            F.col("c_acctbal") > F.col("__avg_bal")
+        )
+        idle = rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        return (
+            idle.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("numcust"),
+                F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            )
+            .orderBy("c_nationkey")
+        )
+
+    q["idle_rich_customers"] = q_idle_rich_customers
+
     def q_vectorized_rule(spark, sf):
         """Arrow-batch escape-hatch rule (SegmentProcessor-plugin analog):
         a numpy batch predicate 'document has ≥ 5 whitespace tokens' — the
@@ -1372,6 +1442,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, COALESCE(v_str, 'NULL') AS v_str
             FROM m WHERE v_str IS NULL OR try_cast(v_str AS DOUBLE) IS NULL
             ORDER BY event_id
+        """,
+        "waiting_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+            FROM l l1
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+            GROUP BY suppkey ORDER BY numwait DESC, suppkey LIMIT 10
+        """,
+        "idle_rich_customers": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "json_ingest_violations": r"""
             WITH base AS (

@@ -154,3 +154,26 @@ def test_embedding_neardup_distinct_carries_no_vector_payload(spark):
     assert distinct_lines, plan[:800]
     for l in distinct_lines:
         assert "__v" not in l and "embedding" not in l, l
+
+
+def test_waiting_suppliers_semi_anti_no_cartesian(spark):
+    """Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, and the
+    self-referencing fact joins must not degrade to a cartesian product."""
+    import __spark_entry__ as em
+
+    df = em.queries()["waiting_suppliers"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_idle_rich_customers_scalar_broadcast_anti(spark):
+    """Q22 shape: the scalar average enters as a broadcast (1-row) join, the
+    NOT EXISTS as LeftAnti; no driver-side action in the plan build."""
+    import __spark_entry__ as em
+
+    df = em.queries()["idle_rich_customers"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:800]
+    assert has_broadcast_join(df)
