@@ -112,6 +112,15 @@ class CheckpointManifest:
         os.replace(tmp, fp)
         return fp
 
+    def latest_per_partition(self) -> dict[str, "ManifestEntry"]:
+        """Latest entry per partition (files are time-ordered) — the view
+        baseline/resume logic reads; sketches in these entries are the
+        accumulated mergeable stats across ALL prior runs."""
+        latest: dict[str, ManifestEntry] = {}
+        for e in self.load():
+            latest[e.partition] = e
+        return latest
+
     def completed_partitions(self, rule_hash: str, snapshot_id: str | None = None) -> set[str]:
         """Latest-entry-wins per partition; done iff that entry is a success
         under the SAME rule hash (and snapshot, when given)."""

@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="per-partition snapshot resume: re-validate only partitions whose data files changed",
     )
+    v.add_argument(
+        "--sketch-col",
+        action="append",
+        default=[],
+        help="numeric column to KLL-sketch per partition into the manifest "
+        "(repeatable; requires --manifest) — accumulates a mergeable drift "
+        "baseline across runs",
+    )
     v.add_argument("--gate", action="store_true", help="exit 1 on any failure")
     v.add_argument("--violation-limit", type=int, default=20)
     v.add_argument("--master", default=None)
@@ -91,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
             key_col=args.key_col,
             partition_col=args.partition_col,
             violation_limit=args.violation_limit,
+            sketch_columns=args.sketch_col,
         )
         psnaps = None
         if args.incremental:

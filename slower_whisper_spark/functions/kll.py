@@ -169,7 +169,8 @@ def kll_profile(
     pcol = partition_col or "__all"
     src = df if partition_col is not None else df.withColumn("__all", F.lit("ALL"))
     narrow = src.select(
-        F.col(pcol).cast("string").alias("partition"), F.col(column).cast("double").alias("__v")
+        # F.expr: plain column names AND derived expressions ("length(text)")
+        F.col(pcol).cast("string").alias("partition"), F.expr(column).cast("double").alias("__v")
     )
 
     def build(pdf):

@@ -13,7 +13,13 @@ from slower_whisper_spark.rules.json_ingest import (
     MapValueRange,
     parse_json_column,
 )
-from slower_whisper_spark.rules.drift import Drift, Baseline, compute_baseline
+from slower_whisper_spark.rules.drift import (
+    Baseline,
+    Drift,
+    baseline_from_kll,
+    compute_baseline,
+    kll_baseline_from_manifest,
+)
 
 __all__ = [
     "Rule",
@@ -41,4 +47,6 @@ __all__ = [
     "Drift",
     "Baseline",
     "compute_baseline",
+    "baseline_from_kll",
+    "kll_baseline_from_manifest",
 ]

@@ -31,15 +31,26 @@ _EPS = 1e-6
 
 @dataclass
 class Baseline:
-    """Checkpointed distribution snapshot for one column."""
+    """Checkpointed distribution snapshot for one column.
+
+    Kinds:
+      * ``hist``     — fixed-edge equal-width histogram (lo/hi/n_buckets).
+      * ``cat``      — top-N categorical counts.
+      * ``quantile`` — equi-depth buckets whose ``edges`` come from a merged
+        KLL sketch (``baseline_from_kll``): the baseline store is the ~5 KB
+        mergeable sketch in the checkpoint manifest, so baselines accumulate
+        across runs WITHOUT rescanning history, and bucket edges adapt to
+        the data instead of needing lo/hi guessed up front.
+    """
 
     column: str
-    kind: str  # "hist" | "cat"
+    kind: str  # "hist" | "cat" | "quantile"
     counts: list[int]
     lo: float | None = None
     hi: float | None = None
     n_buckets: int | None = None
     categories: list[str] = field(default_factory=list)
+    edges: list[float] = field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
@@ -90,6 +101,44 @@ def compute_baseline(
     return Baseline(column=column, kind="cat", counts=counts, categories=cats)
 
 
+def baseline_from_kll(sketch, column: str, n_buckets: int = 20) -> Baseline:
+    """Equi-depth Baseline from a (merged) KLL sketch: edges are the
+    sketch's interior quantiles, expected mass is uniform by construction.
+    Duplicate edges (heavy ties) collapse, so degenerate distributions get
+    fewer, wider buckets instead of empty ones."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    raw_edges = sketch.quantiles(qs)
+    edges: list[float] = []
+    for e in raw_edges:
+        if not edges or e > edges[-1]:
+            edges.append(float(e))
+    k = len(edges) + 1
+    per = max(1, int(round(sketch.n / k)))
+    return Baseline(column=column, kind="quantile", counts=[per] * k, edges=edges)
+
+
+def kll_baseline_from_manifest(
+    manifest, column: str, *, n_buckets: int = 20, k: int = 200
+) -> Baseline:
+    """Merge every partition's checkpointed KLL sketch for ``column`` (the
+    LATEST manifest entry per partition, across however many runs produced
+    them) into one table-level baseline — no data rescan; the manifest IS
+    the baseline store. Raises if no sketches were persisted."""
+    import base64
+
+    from slower_whisper_spark.functions.kll import merge_sketch_rows
+
+    latest = manifest.latest_per_partition()
+    raws = [
+        base64.b64decode(e.sketches[column])
+        for e in latest.values()
+        if column in (e.sketches or {})
+    ]
+    if not raws:
+        raise ValueError(f"no KLL sketches for column {column!r} in manifest")
+    return baseline_from_kll(merge_sketch_rows(raws, k=k), column, n_buckets=n_buckets)
+
+
 class Drift(TableRule):
     def __init__(
         self,
@@ -104,8 +153,8 @@ class Drift(TableRule):
         distribution statistic over a handful of rows is noise, and at
         10^12-doc scale a partition that small signals an ingest anomaly
         better caught by a Range/NotNull rule."""
-        if metric == "ks" and baseline.kind != "hist":
-            raise ValueError("KS drift requires a histogram baseline")
+        if metric == "ks" and baseline.kind == "cat":
+            raise ValueError("KS drift requires an ordered (hist/quantile) baseline")
         self.column = column
         self.baseline = baseline
         self.metric = metric
@@ -133,6 +182,8 @@ class Drift(TableRule):
         b = self.baseline
         if b.kind == "hist":
             return list(range(len(b.counts)))  # width_bucket: 0..n+1
+        if b.kind == "quantile":
+            return list(range(len(b.counts))) + [-1]  # -1 = NULL value
         ids = list(range(len(b.categories)))
         return ids + [-1]  # -1 = unseen category
 
@@ -141,6 +192,14 @@ class Drift(TableRule):
         if b.kind == "hist":
             return F.width_bucket(
                 F.col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
+            )
+        if b.kind == "quantile":
+            # equi-depth bucket = #edges strictly below the value (0..k-1);
+            # a ~20-element literal-array HOF, stays in codegen
+            x = F.col(self.column).cast("double")
+            edges_arr = F.array(*[F.lit(float(e)) for e in b.edges])
+            return F.when(x.isNull(), F.lit(-1)).otherwise(
+                F.size(F.filter(edges_arr, lambda e: x > e))
             )
         known = F.col(self.column).cast("string")
         cats = list(b.categories)
@@ -166,7 +225,7 @@ class Drift(TableRule):
         20-bucket histogram)."""
         ids = self._bucket_ids()
         base_counts = {i: float(c) for i, c in enumerate(self.baseline.counts)}
-        if self.baseline.kind == "cat":
+        if self.baseline.kind in ("cat", "quantile"):
             base_counts[-1] = 0.0
         qtot = sum(base_counts.values()) or 1.0
 
@@ -222,10 +281,8 @@ class Drift(TableRule):
 
     def _bucketed(self, df: DataFrame, partition_col: str) -> DataFrame:
         b = self.baseline
-        if b.kind == "hist":
-            bucket = F.width_bucket(
-                F.col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
-            )
+        if b.kind in ("hist", "quantile"):
+            bucket = self._row_bucket_expr()
         else:
             known = F.col(self.column).cast("string")
             cats = list(b.categories)
@@ -247,8 +304,8 @@ class Drift(TableRule):
     def _baseline_df(self, spark) -> DataFrame:
         b = self.baseline
         rows = [(int(i), int(c)) for i, c in enumerate(b.counts)]
-        if b.kind == "cat":
-            rows.append((-1, 0))  # unseen-category bucket, zero baseline mass
+        if b.kind in ("cat", "quantile"):
+            rows.append((-1, 0))  # unseen-category / NULL bucket, zero baseline mass
         return spark.createDataFrame(rows, "__bucket int, __base long")
 
     def evaluate(

@@ -60,12 +60,21 @@ class ValidationRunner:
         key_col: str = "url",
         partition_col: str = "warc_day",
         violation_limit: int = 100,
+        sketch_columns: list[str] | None = None,
     ):
+        """``sketch_columns``: numeric columns whose per-partition KLL
+        quantile sketches are persisted (b64, ~5 KB each) into every
+        manifest entry — one extra narrow grouped-Arrow pass per column over
+        the PENDING partitions only. Across runs the manifest accumulates a
+        mergeable distribution baseline for those columns
+        (``rules.drift.kll_baseline_from_manifest``) with no rescan of
+        history."""
         self.suite = suite
         self.manifest = CheckpointManifest(manifest_path)
         self.key_col = key_col
         self.partition_col = partition_col
         self.violation_limit = violation_limit
+        self.sketch_columns = list(sketch_columns or [])
 
     def run(
         self,
@@ -153,6 +162,20 @@ class ValidationRunner:
         rows_total = int(sum(r["rows"] for r in status_rows))
         dps = rows_total / wall if wall > 0 else 0.0
 
+        # mergeable per-partition KLL sketches for the manifest baseline
+        # store: one grouped-Arrow pass per column over PENDING partitions
+        sketches_by_part: dict[str, dict[str, str]] = {}
+        if self.sketch_columns:
+            import base64
+
+            from slower_whisper_spark.functions.kll import kll_profile
+
+            for col in self.sketch_columns:
+                for sr in kll_profile(scoped, col, partition_col=self.partition_col).collect():
+                    sketches_by_part.setdefault(sr["partition"], {})[col] = base64.b64encode(
+                        bytes(sr["sketch"])
+                    ).decode("ascii")
+
         now = datetime.now(timezone.utc).isoformat()
         entries = []
         any_failed = False
@@ -179,6 +202,7 @@ class ValidationRunner:
                     },
                     completed_at=now,
                     run_id=run_id,
+                    sketches=sketches_by_part.get(r["partition"], {}),
                 )
             )
         self.manifest.append(entries, run_id)

@@ -123,3 +123,57 @@ def test_old_manifest_entries_still_load(tmp_path):
         f.write(json.dumps(legacy) + "\n")
     entries = CheckpointManifest(str(d)).load()
     assert entries[0].sketches == {}
+
+
+def test_kll_manifest_drift_baseline_across_two_runs(spark, tmp_path):
+    """VERDICT r2 #8: the manifest IS the drift baseline store. Run 1
+    validates (and sketches) half the partitions, dies; run 2 resumes the
+    rest. kll_baseline_from_manifest merges the accumulated per-partition
+    sketches across BOTH runs into an equi-depth baseline; a Drift rule on
+    that baseline passes same-distribution data and fails shifted data."""
+    import numpy as np
+
+    from slower_whisper_spark import ConstraintSuite, NotNull
+    from slower_whisper_spark.rules import Drift, kll_baseline_from_manifest
+    from slower_whisper_spark.runner import ValidationRunner
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (f"u{i}", f"p{i % 4}", float(v))
+        for i, v in enumerate(rng.normal(10.0, 2.0, size=4000))
+    ]
+    df = spark.createDataFrame(rows, "url string, part string, value double")
+
+    suite = ConstraintSuite("kllbase", [NotNull("url")])
+    mpath = str(tmp_path / "manifest")
+    runner = ValidationRunner(suite, mpath, partition_col="part", sketch_columns=["value"])
+
+    # run 1: only p0/p1 (simulated kill before the rest)
+    r1 = runner.run(df, partitions=["p0", "p1"])
+    assert r1.overall_passed
+    # run 2: resume — p0/p1 skip, p2/p3 process and sketch
+    r2 = runner.run(df, partitions=["p0", "p1", "p2", "p3"], resume=True)
+    assert sorted(r2.processed_partitions) == ["p2", "p3"]
+    assert sorted(r2.skipped_partitions) == ["p0", "p1"]
+
+    baseline = kll_baseline_from_manifest(runner.manifest, "value", n_buckets=10)
+    assert baseline.kind == "quantile" and len(baseline.edges) == 9
+    # merged sketch saw all 4000 rows across the two runs
+    assert sum(baseline.counts) >= 3800
+    # median of N(10, 2) ~ 10
+    assert 9.0 < baseline.edges[4] < 11.0
+
+    def drift_fails(data, metric):
+        rule = Drift("value", baseline, metric=metric, threshold=0.2, min_rows=10)
+        res = ConstraintSuite("d", [rule]).validate(
+            data, key_col="url", partition_col="part"
+        )
+        return [r for r in res.verdicts.collect() if not r["passed"]]
+
+    # same distribution: no drift under either metric
+    assert drift_fails(df, "psi") == []
+    assert drift_fails(df, "ks") == []
+    # shifted by +4: every partition must fail
+    shifted = df.withColumn("value", F.col("value") + F.lit(4.0))
+    assert len(drift_fails(shifted, "psi")) == 4
+    assert len(drift_fails(shifted, "ks")) == 4
