@@ -100,6 +100,115 @@ def session_window_turns(
     )
 
 
+def turn_lifecycle(
+    stream_df: DataFrame,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    gap_seconds: float = 30.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Explicit-state PARTIAL → FINALIZED turn lifecycle via
+    ``applyInPandasWithState`` — the full streaming twin of the reference's
+    segment event contract (ref: transcription/schemas/stream_event.schema.json:308-393:
+    a PARTIAL carries an unstable segment that a later FINALIZED row with
+    the same id supersedes).
+
+    Per key, events within ``gap_seconds`` of each other belong to one turn
+    ``{key}-{seq}``:
+
+      * every micro-batch that leaves a turn open emits a PARTIAL row for it
+        (update output mode — downstream sinks overwrite by segment_id);
+      * a gap observed INSIDE the arriving data finalizes the earlier turn
+        immediately (no timeout round-trip);
+      * a turn with no successor event finalizes via event-time state
+        timeout once the watermark passes ``last_event + gap`` — Spark's
+        state store handles recovery, so a crash between PARTIAL and
+        FINALIZED replays correctly from the checkpoint.
+
+    State is one fixed-width tuple per key (seq, start, last, n) — O(keys)
+    memory regardless of event volume; the pandas function sees Arrow
+    batches (no per-row Python dispatch at the JVM boundary)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "key string, segment_id string, status string, "
+        "turn_start double, turn_end double, n_events long"
+    )
+    state_schema = "seq long, start double, last double, n long"
+    gap = float(gap_seconds)
+
+    def fn(key, pdfs, state):
+        k = key[0]
+        if state.hasTimedOut:
+            seq, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": k,
+                        "segment_id": f"{k}-{seq}",
+                        "status": "FINALIZED",
+                        "turn_start": start,
+                        "turn_end": last,
+                        "n_events": n,
+                    }
+                ]
+            )
+            return
+        seq, start, last, n = state.get if state.exists else (0, None, None, 0)
+        ts = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            if str(col.dtype).startswith("datetime"):
+                col = col.astype("int64") / 1e9
+            ts.extend(float(t) for t in col)
+        ts.sort()
+        rows = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                rows.append(
+                    {
+                        "key": k,
+                        "segment_id": f"{k}-{seq}",
+                        "status": "FINALIZED",
+                        "turn_start": start,
+                        "turn_end": last,
+                        "n_events": n,
+                    }
+                )
+                seq += 1
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            rows.append(
+                {
+                    "key": k,
+                    "segment_id": f"{k}-{seq}",
+                    "status": "PARTIAL",
+                    "turn_start": start,
+                    "turn_end": last,
+                    "n_events": n,
+                }
+            )
+            state.update((seq, float(start), float(last), int(n)))
+            state.setTimeoutTimestamp(int((last + gap) * 1000))
+        yield pd.DataFrame(rows)
+
+    return (
+        stream_df.select(F.col(key_col).alias("key"), F.col(ts_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def windowed_lang_counts(
     stream_df: DataFrame,
     *,

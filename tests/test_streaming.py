@@ -107,3 +107,66 @@ def test_session_window_turns_batch_and_stream(spark, tmp_path):
     # append mode emits only watermark-finalized sessions; with a bounded
     # source every session closes by stream end
     assert total == 3
+
+
+def test_turn_lifecycle_partial_then_finalized(tmp_path, spark):
+    """applyInPandasWithState PARTIAL→FINALIZED lifecycle: a turn emitted as
+    PARTIAL in one micro-batch is superseded by a FINALIZED row with the
+    SAME segment_id once a gap (in-data) or the event-time timeout
+    (watermark passing last+gap) closes it."""
+    import datetime as dt
+    import os
+    import time
+
+    from slower_whisper_spark.streaming.validate import turn_lifecycle
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    src = str(tmp_path / "turns_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "key string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # distinct mod-times: deterministic file order
+
+    # batch 0: u1 turn 0 (3 events within gap) + u2 turn 0 (1 event)
+    write_file("f1", [("u1", t0), ("u1", t0 + 5 * sec), ("u1", t0 + 10 * sec), ("u2", t0)])
+    # batch 1: u1 event 10 min later -> IN-DATA gap finalizes u1-0, opens u1-1
+    write_file("f2", [("u1", t0 + 600 * sec)])
+    # batch 2: unrelated key far later -> watermark passes u2-0's timeout
+    write_file("f3", [("u3", t0 + 4000 * sec)])
+
+    stream = spark.readStream.schema("key string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = turn_lifecycle(stream, key_col="key", ts_col="ts", gap_seconds=30.0, watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("turns_tbl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "turns_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM turns_tbl").collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["segment_id"], r["status"]), []).append(r)
+
+    # u1-0: PARTIAL first, then FINALIZED with the same segment id
+    assert ("u1-0", "PARTIAL") in by and ("u1-0", "FINALIZED") in by
+    fin = by[("u1-0", "FINALIZED")][0]
+    assert fin["n_events"] == 3
+    assert fin["turn_end"] - fin["turn_start"] == 10.0
+    # the successor turn went PARTIAL first; the final watermark (t0+4000-1s)
+    # then passed its timeout too, so it ALSO finalized — via state timeout
+    assert ("u1-1", "PARTIAL") in by
+    # u2-0 finalized purely via event-time STATE TIMEOUT (no successor event)
+    assert ("u2-0", "PARTIAL") in by
+    assert ("u2-0", "FINALIZED") in by, sorted(by)
+    assert by[("u2-0", "FINALIZED")][0]["n_events"] == 1
+    # u3-0's timeout (t0+4030) is beyond the final watermark: stays open
+    assert ("u3-0", "PARTIAL") in by and ("u3-0", "FINALIZED") not in by
