@@ -682,6 +682,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = q_ann_ivf
 
+    def q_embedding_neardup(spark, sf):
+        """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+        verification (the dedup-by-embedding scale path). Seeded hyperplanes
+        are literals, so the DuckDB oracle replays the exact candidate
+        generation AND the exact cosine filter; output is the int pair set.
+        Threshold 0.42 sits just under the testdata's max pairwise cosine
+        (0.51 — the synthetic embeddings are near-orthogonal), giving a
+        non-trivial pair set; 4 planes × 16 tables puts LSH recall ≈ 0.95
+        at that similarity."""
+        from slower_whisper_spark.operators import embedding_near_duplicates
+
+        emb = _t(spark, sf, "embeddings")
+        out = embedding_near_duplicates(
+            emb, threshold=0.42, n_planes=4, n_tables=16, seed=42, dim=64
+        )
+        return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+    q["embedding_neardup"] = q_embedding_neardup
+
     def q_embedding_norms(spark, sf):
         """Vector math in higher-order functions: L2 norm + mean component."""
         emb = _t(spark, sf, "embeddings")
@@ -1142,6 +1161,44 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _embedding_neardup_oracle(threshold: float = 0.42) -> str:
+    """Replay embedding_near_duplicates in DuckDB: 16×4 seeded hyperplane
+    literals → per-table sign-bit buckets → distinct candidate pairs sharing
+    a (table, bucket) → exact cosine ≥ threshold."""
+    from slower_whisper_spark.operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(dim=64, n_planes=4, n_tables=16, seed=42)
+    branches = []
+    for t in range(tables.shape[0]):
+        bits = []
+        for i in range(tables.shape[1]):
+            arr = ", ".join(repr(float(x)) for x in tables[t][i])
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, [{arr}]::DOUBLE[]) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        branches.append(
+            f"SELECT vec_id, v, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM e"
+        )
+    b_sql = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {b_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
 def _ann_ivf_oracle() -> str:
     """Replay IVF routing in DuckDB: 16 seeded row-normalized centroid
     literals, corpus → arg-max cell, query → top-4 cells (ORDER BY score
@@ -1505,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _JACCARD_ORACLE,
         "simhash_neardup": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_bruteforce": """
             SELECT query_id, neighbor_id FROM (
