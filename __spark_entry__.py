@@ -473,6 +473,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["idle_rich_customers"] = q_idle_rich_customers
 
+    def q_big_orders(spark, sf):
+        """TPC-H Q18-style: HAVING-filtered aggregate subquery joined back —
+        orders whose total quantity exceeds 300, with customer detail. The
+        aggregate runs ONCE (no re-aggregation after the join); dims join on
+        the already-small filtered set."""
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("tot_qty"))
+            .filter(F.col("tot_qty") > 300)
+        )
+        return (
+            big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey", "o_totalprice", "tot_qty")
+            .orderBy(F.desc("tot_qty"), F.asc("o_orderkey"))
+            .limit(20)
+        )
+
+    q["big_orders"] = q_big_orders
+
+    def q_bpe_tokens(spark, sf):
+        """BPE-ish token estimate: letter runs count 1, each digit counts 1,
+        each non-alnum symbol counts 1 — the classic pre-tokenizer regex,
+        evaluated JVM-side (regexp_extract_all, zero Python)."""
+        docs = _t(spark, sf, "documents")
+        pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+        return docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_bpe_tokens"),
+        ).orderBy("doc_id")
+
+    q["bpe_tokens"] = q_bpe_tokens
+
     def q_vectorized_rule(spark, sf):
         """Arrow-batch escape-hatch rule (SegmentProcessor-plugin analog):
         a numpy batch predicate 'document has ≥ 5 whitespace tokens' — the
@@ -1524,6 +1560,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "big_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS tot_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+            )
+            SELECT c_name, o_orderkey, o_totalprice, tot_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY tot_qty DESC, o_orderkey LIMIT 20
+        """,
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "json_ingest_violations": r"""
             WITH base AS (

@@ -195,17 +195,29 @@ def run_llm_ops_bench(spark, paths) -> dict:
     out["minhash_wall_sec"] = round(wall, 3)
     out["minhash_docs_per_sec"] = round(n_sample / wall, 1) if wall > 0 else 0.0
 
-    # --- ANN: LSH bucket join + exact cosine re-rank over synthetic 64-d -- #
+    # --- ANN: LSH bucket join + exact cosine re-rank over stored 64-d ----- #
+    # The corpus is WRITTEN ONCE to parquet and the operator measured over
+    # reads — the real regime (embeddings live in storage); the two narrow
+    # scans the de-payloaded plan makes (bucket pass + re-rank re-join) are
+    # then columnar reads, not recomputation of the synthetic generator.
     n_ann = int(os.environ.get("SWS_BENCH_ANN_ROWS", 1_000_000))
-    # F.array of 64 plain exprs, not a transform() HOF: HOFs run interpreted
-    # and the bench should measure the operator, not lambda overhead
-    vec = F.array(
-        *[(F.pmod(F.xxhash64(F.col("id"), F.lit(i)), 10_000) / 5_000.0 - 1.0) for i in range(1, 65)]
-    )
-    corpus = spark.range(n_ann).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    ann_path = os.path.join(BENCH_CACHE, f"ann_corpus_n{n_ann}")
+    if not os.path.exists(os.path.join(ann_path, "_SUCCESS")):
+        # F.array of 64 plain exprs, not a transform() HOF: HOFs run
+        # interpreted and the bench should measure the operator
+        vec = F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), 10_000) / 5_000.0 - 1.0)
+                for i in range(1, 65)
+            ]
+        )
+        spark.range(n_ann).select(F.col("id").alias("vec_id"), vec.alias("embedding")).coalesce(
+            8
+        ).write.mode("overwrite").parquet(ann_path)
+    corpus = spark.read.parquet(ann_path)
     queries = corpus.filter(F.col("vec_id") < 16)
     t0 = time.monotonic()
-    topk = lsh_bucketed_topk(corpus, queries, k=10, n_planes=8, n_tables=8)
+    topk = lsh_bucketed_topk(corpus, queries, k=10, n_planes=8, n_tables=8, dim=64)
     n_rows = topk.count()
     wall = time.monotonic() - t0
     out["ann_corpus"] = n_ann
@@ -333,6 +345,9 @@ def scaling_main() -> None:
             env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             if rep == 0:
                 env.setdefault("SWS_BENCH_LLM_OPS", "1")
+                # 4M vectors: at 1M the (now 2-4x faster) ANN op finishes in
+                # ~5s at BOTH levels — pure fixed cost, a meaningless ratio
+                env.setdefault("SWS_BENCH_ANN_ROWS", "4000000")
             env.setdefault("SWS_BENCH_PROBE", "1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -1,8 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
   * ``cosine_topk``        — brute-force exact top-k: broadcast the (small)
-    query set against the corpus, cosine via higher-order array functions
-    (JVM, no Python), rank per query. The exactness baseline.
+    query set against the corpus, cosine via one numpy einsum per Arrow
+    batch, rank per query. The exactness baseline.
   * ``lsh_bucketed_topk``  — random-hyperplane LSH scale path: seeded
     hyperplanes → sign-bit bucket key → candidates share a bucket in ≥1
     table → exact cosine re-rank on the (much smaller) candidate set.
@@ -29,7 +29,17 @@ def _norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
+    """Expression-form cosine (higher-order functions). Kept for inline/
+    declarative use; the ANN re-rank paths use the Arrow-batch numpy kernel
+    (``_pair_cos``) — the HOF form runs interpreted and stops scaling with
+    cores once candidates reach millions of pairs."""
     return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def _pair_cos(a, b) -> F.Column:
+    from slower_whisper_spark.functions.vectorized import make_cosine_pair
+
+    return make_cosine_pair()(a, b)
 
 
 def cosine_topk(
@@ -45,19 +55,14 @@ def cosine_topk(
     """Exact top-k neighbours per query: (query_id, neighbor_id, cos, rank).
 
     queries is expected to be small (broadcast); corpus streams."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    # native vector type end-to-end: the numpy kernel upcasts to float64
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+        "query_id", "neighbor_id", _pair_cos(F.col("__qv"), F.col("__cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -113,22 +118,30 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables, exact
     cosine re-rank on candidates only. Buckets come from one numpy-matmul
-    Arrow UDF (all tables at once); re-rank cosines stay JVM-side.
+    Arrow UDF (all tables at once); the re-rank is the einsum kernel
+    (``make_cosine_pair``) — Arrow-batched, never per-row Python.
 
     The multi-table candidate dedup runs over INT PAIRS ONLY — the bucket
     rows carry no vector payload, so the ``distinct()`` exchange shuffles
     ~16 bytes/row instead of the ~1 KB/row a 64-dim double array would cost
     (at 10^9 candidates that is ~50× shuffle volume). Vectors re-join after
-    the dedup: corpus side by id, query side broadcast."""
+    the dedup with the CORPUS STREAMING: the deduped candidate set is
+    bounded by |queries| × candidates-per-query (the query side is small by
+    this operator's contract), so it broadcasts — the corpus is never
+    shuffled at any point in the plan (measured: the corpus-side sort-merge
+    fallback cost 2× wall at 1M vectors / 2 cores)."""
     from slower_whisper_spark.functions.vectorized import make_lsh_buckets
 
     tables = _hyperplanes(_vec_dim(corpus, vec_col, dim), n_planes, n_tables, seed)
     bucket_udf = make_lsh_buckets(tables)
 
     def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        # native (float32) vectors go to the UDF — numpy upcasts to float64
+        # INSIDE the kernel (exact widening, identical results to a Spark
+        # cast) so the Arrow transfer moves half the bytes
         return df.select(
             F.col(idc).alias(out_id),
-            F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
+            F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
         )
 
     cb = bucketed(corpus, id_col, "neighbor_id")
@@ -136,16 +149,12 @@ def lsh_bucketed_topk(
     cand = cb.join(F.broadcast(qb), ["table", "bucket"]).select("query_id", "neighbor_id").distinct()
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
-    )
-    qvec = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
-    )
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qvec = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     scored = (
-        cand.join(cvec, "neighbor_id")
+        cvec.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select("query_id", "neighbor_id", _pair_cos(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -198,19 +207,19 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-        F.element_at(assign1(F.col(vec_col).cast("array<double>")), 1).alias("cell"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-        F.explode(assignp(F.col(vec_col).cast("array<double>"))).alias("cell"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").select("query_id", "neighbor_id", "__qv", "__cv")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+        "query_id", "neighbor_id", _pair_cos(F.col("__qv"), F.col("__cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -285,7 +294,7 @@ def embedding_near_duplicates(
     bucket_udf = make_lsh_buckets(tables)
     b = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(bucket_udf(F.col(vec_col).cast("array<double>"))).alias("table", "bucket"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
     )
     cand = (
         b.alias("a")
@@ -298,10 +307,10 @@ def embedding_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
         .distinct()
     )
-    vec = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    vec = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
     return (
         cand.join(vec.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
         .join(vec.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .select("id_a", "id_b", _pair_cos(F.col("__va"), F.col("__vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
