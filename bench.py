@@ -343,11 +343,12 @@ def scaling_main() -> None:
             env.setdefault("SWS_BENCH_ROWS", "8000000")
             env.setdefault("SWS_BENCH_SKIP_QUERIES", "1")
             env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-            if rep == 0:
-                env.setdefault("SWS_BENCH_LLM_OPS", "1")
-                # 4M vectors: at 1M the (now 2-4x faster) ANN op finishes in
-                # ~5s at BOTH levels — pure fixed cost, a meaningless ratio
-                env.setdefault("SWS_BENCH_ANN_ROWS", "4000000")
+            # LLM ops on EVERY rep (medianed like the suite): a single-rep
+            # op ratio on this drifting host is noise-dominated
+            env.setdefault("SWS_BENCH_LLM_OPS", "1")
+            # 4M vectors: at 1M the (now 2-4x faster) ANN op finishes in
+            # ~5s at BOTH levels — pure fixed cost, a meaningless ratio
+            env.setdefault("SWS_BENCH_ANN_ROWS", "4000000")
             env.setdefault("SWS_BENCH_PROBE", "1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -366,11 +367,12 @@ def scaling_main() -> None:
 
     results = {}
     for n in pair:
-        # medians for the ratio-bearing metrics; LLM ops come from rep 0
+        # medians for every ratio-bearing metric, LLM ops included
         base = dict(runs[n][0])
         for key in (
             "suite_warm_docs_per_sec", "suite_warm_wall_sec", "suite_docs_per_sec",
             "value", "suite_cold_wall_sec", "suite_cold_docs_per_sec", "cpu_probe_wall_sec",
+            "minhash_wall_sec", "minhash_docs_per_sec", "ann_wall_sec", "ann_vecs_per_sec",
         ):
             if all(key in r for r in runs[n]):
                 base[key] = _median([r[key] for r in runs[n]])
