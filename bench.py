@@ -434,6 +434,26 @@ while sha256 scales {probe_lo and round(probe_lo/probe_hi,2) or 'n/a'}x in the s
 sha ceiling is the hardware's string-churn penalty, not a shuffle defect
 (the plan shuffles only per-doc partial aggregates and band buckets).
 """
+    # append-only history: BENCH.md is regenerated per run, so the evidence
+    # trail (raw eff + same-session probe, per run) lives in a jsonl that
+    # survives regeneration — the 'three same-day probe ceilings' record the
+    # contended-host argument needs
+    with open(os.path.join(REPO, "bench_history.jsonl"), "a") as hf:
+        hf.write(
+            json.dumps(
+                {
+                    "kind": "scaling",
+                    "pair": list(pair),
+                    "suite_raw_eff": round(eff, 3),
+                    "probe_eff": round(probe_eff, 3) if probe_eff else None,
+                    "warm_wall_lo": results[lo]["suite_warm_wall_sec"],
+                    "warm_wall_hi": results[hi]["suite_warm_wall_sec"],
+                    "minhash_eff": round(_op_eff("minhash_docs_per_sec"), 3),
+                    "ann_eff": round(_op_eff("ann_vecs_per_sec"), 3),
+                }
+            )
+            + "\n"
+        )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             f"""# BENCH — full-constraint-suite throughput & scaling
