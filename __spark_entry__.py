@@ -648,13 +648,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the verification filter makes every surviving pair exactly correct,
         and the DuckDB exact-Jaccard oracle comparison itself proves the
         output EQUALS the exact pair set at the tested scale (recall vs the
-        exact set also asserted in tests)."""
+        exact set also asserted in tests). Verification runs on 64-bit
+        HASHED shingles (the same fixed-width rows the signature path
+        builds) — no shingle string is materialized anywhere in the
+        pipeline; the string-shingle DuckDB oracle still matching proves
+        hash-Jaccard ≡ string-Jaccard on this corpus."""
         from slower_whisper_spark.operators import jaccard_pairs, minhash_lsh_candidates
 
         docs = _t(spark, sf, "documents")
         cand = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=64, bands=16)
         return (
-            jaccard_pairs(docs, "text", "doc_id", threshold=0.8, candidates=cand)
+            jaccard_pairs(
+                docs, "text", "doc_id", threshold=0.8, candidates=cand, hashed_shingles=True
+            )
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b")
         )
@@ -722,16 +728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Embedding-cosine near-duplicate pairs via LSH buckets + exact
         verification (the dedup-by-embedding scale path). Seeded hyperplanes
         are literals, so the DuckDB oracle replays the exact candidate
-        generation AND the exact cosine filter; output is the int pair set.
-        Threshold 0.42 sits just under the testdata's max pairwise cosine
-        (0.51 — the synthetic embeddings are near-orthogonal), giving a
-        non-trivial pair set; 4 planes × 16 tables puts LSH recall ≈ 0.95
-        at that similarity."""
+        generation AND the exact cosine filter — INCLUDING the
+        max_bucket_size=200 guard (over-cap buckets dropped on both sides);
+        output is the int pair set. Threshold 0.42 sits just under the
+        testdata's max pairwise cosine (0.51 — the synthetic embeddings are
+        near-orthogonal), giving a non-trivial pair set; 4 planes × 16
+        tables puts LSH recall ≈ 0.95 at that similarity."""
         from slower_whisper_spark.operators import embedding_near_duplicates
 
         emb = _t(spark, sf, "embeddings")
         out = embedding_near_duplicates(
-            emb, threshold=0.42, n_planes=4, n_tables=16, seed=42, dim=64
+            emb, threshold=0.42, n_planes=4, n_tables=16, seed=42, dim=64,
+            max_bucket_size=200,
         )
         return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 
@@ -1197,10 +1205,11 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-def _embedding_neardup_oracle(threshold: float = 0.42) -> str:
+def _embedding_neardup_oracle(threshold: float = 0.42, max_bucket_size: int = 200) -> str:
     """Replay embedding_near_duplicates in DuckDB: 16×4 seeded hyperplane
-    literals → per-table sign-bit buckets → distinct candidate pairs sharing
-    a (table, bucket) → exact cosine ≥ threshold."""
+    literals → per-table sign-bit buckets → drop over-cap buckets (the
+    max_bucket_size guard, replayed exactly) → distinct candidate pairs
+    sharing a surviving (table, bucket) → exact cosine ≥ threshold."""
     from slower_whisper_spark.operators.similarity import _hyperplanes
 
     tables = _hyperplanes(dim=64, n_planes=4, n_tables=16, seed=42)
@@ -1222,9 +1231,14 @@ def _embedding_neardup_oracle(threshold: float = 0.42) -> str:
     b AS (
       {b_sql}
     ),
+    keep AS (
+      SELECT tbl, bucket FROM b GROUP BY tbl, bucket
+      HAVING count(*) <= {max_bucket_size}
+    ),
+    bk AS (SELECT b.* FROM b JOIN keep USING (tbl, bucket)),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+      FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket
       WHERE a.vec_id < c.vec_id
     )
     SELECT id_a, id_b FROM cand

@@ -187,7 +187,9 @@ def run_llm_ops_bench(spark, paths) -> dict:
     # boilerplate-heavy corpus in junk candidates (measured: 4.2M pairs on
     # 200k templated docs); candidate-bounded verification then dominates.
     cand = minhash_lsh_candidates(sample, "text", "url", num_hashes=64, bands=16)
-    pairs = jaccard_pairs(sample, "text", "url", threshold=0.8, candidates=cand)
+    pairs = jaccard_pairs(
+        sample, "text", "url", threshold=0.8, candidates=cand, hashed_shingles=True
+    )
     n_pairs = pairs.count()
     wall = time.monotonic() - t0
     out["minhash_docs"] = n_sample

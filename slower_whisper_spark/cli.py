@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "validate" and args.sketch_col and not args.manifest:
+        # enforce the documented contract: sketches persist INTO the manifest;
+        # without one the user would think a drift baseline is accumulating
+        # when nothing is written anywhere
+        p.error("--sketch-col requires --manifest (sketches persist into the checkpoint manifest)")
+
     if args.cmd == "registry":
         return _registry_main(args)
 

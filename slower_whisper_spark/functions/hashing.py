@@ -26,3 +26,17 @@ def canonical_hash(obj: Any) -> str:
 def short_hash(obj: Any, n: int = 12) -> str:
     """Truncated canonical hash (default 12 hex chars)."""
     return canonical_hash(obj)[:n]
+
+
+# Keys that mark the spec's on-disk FORMAT, not its semantics. They are
+# excluded from spec hashes so bumping the serialization format (e.g. the
+# spec_format=2 marker added for migrate.detect_version) does NOT change
+# suite_hash — which would force a one-time full re-validation of every
+# checkpointed partition and break lockfile hash-matches for unchanged
+# suites.
+_FORMAT_MARKER_KEYS = frozenset({"spec_format"})
+
+
+def spec_hash(spec: dict[str, Any]) -> str:
+    """Canonical hash of a suite/rule spec, ignoring format-marker keys."""
+    return canonical_hash({k: v for k, v in spec.items() if k not in _FORMAT_MARKER_KEYS})

@@ -156,6 +156,7 @@ def kll_profile(
     *,
     partition_col: str | None = None,
     k: int = 200,
+    deterministic: bool = False,
 ) -> DataFrame:
     """(partition, n, sketch binary) — one KLL sketch per partition, built
     in a single grouped Arrow pass (``applyInPandas``; numpy inside, zero
@@ -163,7 +164,16 @@ def kll_profile(
     them into the checkpoint manifest, union across partitions or runs with
     ``merge_sketch_rows``. For a partition too large for one group, split it
     (e.g. by spark_partition_id) and merge — merging is lossless-associative
-    by construction."""
+    by construction.
+
+    ``deterministic``: sort each group's values before sketching. KLL is
+    input-order-sensitive (compaction offsets follow a seeded LCG over the
+    insertion sequence); group rows arrive in shuffle order, so two runs over
+    the same data can otherwise yield byte-different (equally valid) sketches.
+    Sorting makes the sketch a pure function of the partition's value
+    MULTISET — required when sketches feed content-addressed stores or
+    replayed-literal oracles. Cost: one numpy sort per group, O(n log n) on
+    data already resident in the Arrow batch."""
     from pyspark.sql import functions as F
 
     pcol = partition_col or "__all"
@@ -177,7 +187,10 @@ def kll_profile(
         import pandas as pd
 
         sk = KLLSketch(k=k, seed=1)
-        sk.update_batch(pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan))
+        v = pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+        if deterministic:
+            v = np.sort(v)  # NaNs sort last; update_batch drops them either way
+        sk.update_batch(v)
         return pd.DataFrame(
             {"partition": [pdf["partition"].iloc[0]], "n": [sk.n], "sketch": [sk.serialize()]}
         )

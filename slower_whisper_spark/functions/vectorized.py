@@ -122,6 +122,16 @@ def make_cosine_pair():
         num = _np.einsum("ij,ij->i", A, B)
         den = _np.linalg.norm(A, axis=1) * _np.linalg.norm(B, axis=1)
         with _np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
+            res = num / den
+        # Zero-norm vectors → NULL, not NaN: Spark orders NaN ABOVE every
+        # number, so a NaN cos would pass `cos >= threshold` filters and rank
+        # first in top-k desc windows. NULL (like the HOF cosine this kernel
+        # replaced) is filtered by >= and sorts last.
+        bad = ~_np.isfinite(res)
+        if bad.any():
+            out = res.astype(object)
+            out[bad] = None
+            return pd.Series(out)
+        return pd.Series(res)
 
     return cosine_pair

@@ -134,10 +134,17 @@ def minhash_lsh_candidates(
     dropped (non-discriminative band values — the standard LSH guard against
     candidate-pair blowup on low-entropy corpora).
 
-    ``persisted``: pass a list to receive the internally persisted band-rows
-    DataFrame so a long-running driver can unpersist it after the final
-    result is materialized (the SuiteResult.unpersist pattern); without it
-    the cache lives until session end."""
+    Plan shape: the over-cap guard is a COUNT window over (band, bucket) —
+    not a separate bucket-count + semi-join — so the guarded band rows are
+    one exchange partitioned exactly on the self-join keys. Both join sides
+    are then the identical subtree and Catalyst's ReusedExchange computes the
+    signature aggregation + shuffle ONCE, with no persist/cache write at all:
+    total band-row shuffles = 1 (previously: cache write + 3 shuffles).
+
+    ``persisted``: pass a list to receive any internally persisted
+    DataFrames for caller-controlled unpersist (the SuiteResult.unpersist
+    pattern). The current plan caches nothing, so the list stays empty —
+    kept for interface stability."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -154,19 +161,26 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # band_rows feeds three consumers (bucket sizes, both join sides):
-    # persist so the signature agg runs once
-    band_rows = band_rows.persist()
-    if persisted is not None:
-        persisted.append(band_rows)
 
-    # drop giant buckets before the self-join (two-phase count, small output)
+    # drop giant buckets before the self-join: windowed count over the join
+    # keys keeps the exchange reusable by both join sides
     if max_bucket_size:
-        bucket_sizes = band_rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
-        small = bucket_sizes.filter(F.col("__n") <= max_bucket_size).drop("__n")
-        band_rows = band_rows.join(small, ["band", "bucket"], "left_semi")
+        from pyspark.sql import Window
 
-    # bucket-join: pairs within the same (band, bucket)
+        w = Window.partitionBy("band", "bucket")
+        band_rows = (
+            band_rows.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+
+    # bucket-join: pairs within the same (band, bucket). Force sort-merge:
+    # AQE would otherwise broadcast one side at small scale — recomputing the
+    # whole signature subtree for the build side (measured 3.2s vs 2.0s at
+    # sf0.1) — and at web scale the band rows can never broadcast anyway, so
+    # SMJ over the two identical (band, bucket) exchanges is the plan that
+    # holds at every scale; the window's sort already satisfies SMJ's order.
+    band_rows = band_rows.hint("merge")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -191,6 +205,8 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     max_df: int | None = 1000,
     persisted: list[DataFrame] | None = None,
+    stats_out: dict | None = None,
+    hashed_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -208,19 +224,28 @@ def jaccard_pairs(
 
     No silent caps: when pruning is active the stop-shingle set is computed
     EAGERLY (one bounded job — its groupBy had to run for pruning anyway),
-    its size is logged, and the returned DataFrame carries a
-    ``stop_shingle_stats`` attribute ``{"stop_shingles_pruned": n}``; n > 0
-    means the pair set MAY differ from the unbounded exact path. Eagerness
-    buys a better plan too: the (tiny) persisted stop set prunes via a
-    broadcast ANTI-join — no shuffle of the shingle rows for pruning, versus
-    the old semi-join against the (huge) rare-shingle set — and pruning is
-    skipped entirely when no shingle exceeds the bound. If the stop set is
-    itself too big to broadcast (>10^6: a pathologically boilerplate corpus)
-    it falls back to the shuffle semi-join.
+    its size is logged and written into ``stats_out`` (pass a dict) as
+    ``{"stop_shingles_pruned": n}``; n > 0 means the pair set MAY differ
+    from the unbounded exact path. Eagerness buys a better plan too: the
+    (tiny) stop set is collected to the driver — exactly what a broadcast
+    would do anyway, so nothing stays persisted on the executors — and
+    prunes via a broadcast ANTI-join: no shuffle of the shingle rows for
+    pruning, versus the old semi-join against the (huge) rare-shingle set;
+    pruning is skipped entirely when no shingle exceeds the bound. If the
+    stop set is itself too big to broadcast (>10^6: a pathologically
+    boilerplate corpus) it falls back to the shuffle semi-join.
 
     ``persisted``: pass a list to receive internally persisted DataFrames
     (the candidate pair set) for caller-controlled unpersist in long-running
-    drivers."""
+    drivers.
+
+    ``hashed_shingles``: compute Jaccard over 64-bit xxhash64 shingle HASHES
+    instead of shingle strings — the same fixed-width representation the
+    minhash signature path uses (``hashed_shingle_rows``), so LSH-candidate
+    verification never materializes a shingle string anywhere. |A∩B|/|A∪B|
+    over the hash sets equals the string-shingle Jaccard unless two DISTINCT
+    shingles of the same doc pair collide in 64 bits (P ≈ n²/2⁶⁴ per pair —
+    negligible); keep the default for the letter-exact oracle path."""
     narrow = _fanned_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
 
     if candidates is not None:
@@ -235,7 +260,13 @@ def jaccard_pairs(
         cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         narrow = narrow.join(cand_ids, "id", "left_semi")
 
-    rows = shingle_rows(narrow, "id", "__txt", n=shingle_n).dropDuplicates(["id", "shingle"])
+    if hashed_shingles:
+        rows = hashed_shingle_rows(narrow, "id", "__txt", n=shingle_n).withColumnRenamed(
+            "sh", "shingle"
+        )
+    else:
+        rows = shingle_rows(narrow, "id", "__txt", n=shingle_n)
+    rows = rows.dropDuplicates(["id", "shingle"])
     sh = rows.groupBy("id").agg(F.collect_list("shingle").alias("__sh"))
 
     prune_stats: dict[str, int] | None = None
@@ -243,8 +274,16 @@ def jaccard_pairs(
         ex = rows.withColumnRenamed("shingle", "s")
         if max_df:
             counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-            stop = counts.filter(F.col("__df") > max_df).select("s").persist()
-            n_stop = stop.count()
+            stop = counts.filter(F.col("__df") > max_df).select("s")
+            # One bounded job: pull the stop set to the driver (capped at the
+            # broadcast limit + 1). A broadcast join materializes the small
+            # side on the driver anyway, so this costs nothing extra — and
+            # leaves NOTHING persisted on the executors after the call.
+            stop_local = stop.limit(1_000_001).collect()
+            if len(stop_local) > 1_000_000:
+                n_stop = stop.count()  # exact count for the log
+            else:
+                n_stop = len(stop_local)
             prune_stats = {"stop_shingles_pruned": n_stop}
             if n_stop:
                 _log.warning(
@@ -254,15 +293,13 @@ def jaccard_pairs(
                     max_df,
                     n_stop,
                 )
-                if persisted is not None:
-                    persisted.append(stop)
                 if n_stop <= 1_000_000:
-                    ex = ex.join(F.broadcast(stop), "s", "left_anti")
+                    spark = df.sparkSession
+                    stop_df = spark.createDataFrame(stop_local, schema=stop.schema)
+                    ex = ex.join(F.broadcast(stop_df), "s", "left_anti")
                 else:  # stop set too big to broadcast: shuffle semi-join on rare
                     rare = counts.filter(F.col("__df") <= max_df).drop("__df")
                     ex = ex.join(rare, "s", "left_semi")
-            else:
-                stop.unpersist()
         candidates = (
             ex.alias("a")
             .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -287,6 +324,10 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     if prune_stats is not None:
+        if stats_out is not None:
+            stats_out.update(prune_stats)
+        # best-effort convenience only — a monkey-patched attribute does not
+        # survive downstream transformations; stats_out is the durable channel
         out.stop_shingle_stats = prune_stats
     return out
 

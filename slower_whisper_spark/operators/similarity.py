@@ -15,9 +15,13 @@ broadcast literals) and only candidates hit the re-rank join.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _dot(a, b) -> F.Column:
@@ -282,12 +286,28 @@ def embedding_near_duplicates(
     n_tables: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 200,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
     buckets + exact verification. As in ``lsh_bucketed_topk``, the
     multi-table dedup ``distinct()`` runs on the INT PAIR only — vectors
     re-join (by id, both sides corpus-resident) for the exact re-rank, so the
-    dedup exchange never carries array payloads."""
+    dedup exchange never carries array payloads.
+
+    ``max_bucket_size`` guards the bucket self-join against quadratic blowup
+    on low-entropy corpora (near-identical vectors — EXACTLY the input a
+    near-dup pass meets — land in one giant bucket): buckets larger than the
+    cap are dropped from candidate generation, mirroring
+    ``minhash_lsh_candidates``. No silent caps: the over-cap bucket set is
+    counted EAGERLY, logged, and pruned via a broadcast anti-join (the set is
+    tiny by construction — ≤ corpus/cap buckets). Members of a dropped bucket
+    can still pair through their OTHER n_tables-1 tables; pass ``None`` for
+    the unguarded exact-candidate path at test scale.
+
+    ``persisted``: receives the internally persisted bucket-rows DataFrame
+    (consumed by the size count + both join sides) for caller-controlled
+    unpersist; without it the cache lives until session end."""
     from slower_whisper_spark.functions.vectorized import make_lsh_buckets
 
     tables = _hyperplanes(_vec_dim(df, vec_col, dim), n_planes, n_tables, seed)
@@ -296,6 +316,39 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
     )
+    if max_bucket_size:
+        # three consumers (size count + both join sides): persist so the
+        # (Python-UDF) bucket computation runs once
+        b = b.persist()
+        if persisted is not None:
+            persisted.append(b)
+        big = (
+            b.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        big_local = big.limit(100_001).collect()  # one bounded job — eager, logged
+        if big_local:
+            _log.warning(
+                "embedding_near_duplicates: dropping %s bucket(s) larger than "
+                "max_bucket_size=%d from candidate generation — members may "
+                "still pair via their other %d table(s)",
+                f">{100_000}" if len(big_local) > 100_000 else len(big_local),
+                max_bucket_size,
+                n_tables - 1,
+            )
+            if len(big_local) <= 100_000:
+                big_df = df.sparkSession.createDataFrame(big_local, schema=big.schema)
+                b = b.join(F.broadcast(big_df), ["table", "bucket"], "left_anti")
+            else:  # pathological: too many big buckets to broadcast
+                small = (
+                    b.groupBy("table", "bucket")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") <= max_bucket_size)
+                    .drop("__n")
+                )
+                b = b.join(small, ["table", "bucket"], "left_semi")
     cand = (
         b.alias("a")
         .join(

@@ -30,7 +30,7 @@ import os
 from datetime import datetime, timezone
 from typing import Any
 
-from slower_whisper_spark.functions.hashing import canonical_hash
+from slower_whisper_spark.functions.hashing import canonical_hash, spec_hash
 from slower_whisper_spark.suite import ConstraintSuite
 
 
@@ -67,7 +67,7 @@ class SuiteRegistry:
         spec under an existing (name, version) requires overwrite=True —
         published versions are immutable by default."""
         spec = suite.spec()
-        h = canonical_hash(spec)
+        h = spec_hash(spec)
         lock = self._read_lock()
         existing = lock.get(suite.name, {}).get(str(suite.version))
         if existing and existing["hash"] != h and not overwrite:
@@ -130,7 +130,7 @@ class SuiteRegistry:
                 raise IntegrityError(f"{name}@v{version}: spec file missing ({path})")
             return False
         with open(path) as f:
-            actual = canonical_hash(json.load(f))
+            actual = spec_hash(json.load(f))
         ok = actual == entry["hash"]
         if not ok and strict:
             raise IntegrityError(
@@ -145,7 +145,7 @@ class SuiteRegistry:
         entry = self._read_lock().get(suite.name, {}).get(str(suite.version))
         if entry is None:
             return True
-        return canonical_hash(suite.spec()) != entry["hash"]
+        return spec_hash(suite.spec()) != entry["hash"]
 
     # ---------------- diff ---------------- #
     def diff(self, name: str, v_old: int, v_new: int) -> dict[str, list[str]]:

@@ -121,19 +121,21 @@ def kll_baseline_from_manifest(
     manifest, column: str, *, n_buckets: int = 20, k: int = 200
 ) -> Baseline:
     """Merge every partition's checkpointed KLL sketch for ``column`` (the
-    LATEST manifest entry per partition, across however many runs produced
-    them) into one table-level baseline — no data rescan; the manifest IS
-    the baseline store. Raises if no sketches were persisted."""
+    latest manifest entry per partition THAT CARRIES the column's sketch,
+    across however many runs produced them) into one table-level baseline —
+    no data rescan; the manifest IS the baseline store. A later run executed
+    WITHOUT sketch_columns must not erase the accumulated baseline, so
+    sketch-less entries are skipped when picking the per-partition latest.
+    Raises if no sketches were persisted."""
     import base64
 
     from slower_whisper_spark.functions.kll import merge_sketch_rows
 
-    latest = manifest.latest_per_partition()
-    raws = [
-        base64.b64decode(e.sketches[column])
-        for e in latest.values()
-        if column in (e.sketches or {})
-    ]
+    latest: dict[str, str] = {}
+    for e in manifest.load():  # files are time-ordered; later overwrites
+        if column in (e.sketches or {}):
+            latest[e.partition] = e.sketches[column]
+    raws = [base64.b64decode(b64) for b64 in latest.values()]
     if not raws:
         raise ValueError(f"no KLL sketches for column {column!r} in manifest")
     return baseline_from_kll(merge_sketch_rows(raws, k=k), column, n_buckets=n_buckets)
@@ -308,15 +310,11 @@ class Drift(TableRule):
             rows.append((-1, 0))  # unseen-category / NULL bucket, zero baseline mass
         return spark.createDataFrame(rows, "__bucket int, __base long")
 
-    def evaluate(
-        self,
-        df: DataFrame,
-        *,
-        key_col: str,
-        partition_col: str,
-        violation_limit: int,
-        persisted: list[DataFrame] | None = None,
-    ) -> tuple[DataFrame, DataFrame | None]:
+    def statistic_df(self, df: DataFrame, partition_col: str) -> DataFrame:
+        """Per-partition drift statistic as DATA: (__part, __stat, __n).
+        This is the numeric core of ``evaluate`` — exposed so callers (e.g.
+        drift dashboards, oracle-checked queries) can consume the statistic
+        directly instead of parsing it back out of the verdict string."""
         spark = df.sparkSession
         cur = self._bucketed(df, partition_col)
         base = F.broadcast(self._baseline_df(spark))
@@ -332,17 +330,27 @@ class Drift(TableRule):
 
         if self.metric == "psi":
             contrib = (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q"))
-            stat = joined.groupBy("__part").agg(
+            return joined.groupBy("__part").agg(
                 F.sum(contrib).alias("__stat"), F.sum("__cnt").alias("__n")
             )
-        else:  # ks: max |CDF_p - CDF_q| over ordered buckets
-            w = Window.partitionBy("__part").orderBy("__bucket")
-            cdf = joined.withColumn("__cp", F.sum("__p").over(w)).withColumn("__cq", F.sum("__q").over(w))
-            stat = cdf.groupBy("__part").agg(
-                F.max(F.abs(F.col("__cp") - F.col("__cq"))).alias("__stat"),
-                F.sum("__cnt").alias("__n"),
-            )
+        # ks: max |CDF_p - CDF_q| over ordered buckets
+        w = Window.partitionBy("__part").orderBy("__bucket")
+        cdf = joined.withColumn("__cp", F.sum("__p").over(w)).withColumn("__cq", F.sum("__q").over(w))
+        return cdf.groupBy("__part").agg(
+            F.max(F.abs(F.col("__cp") - F.col("__cq"))).alias("__stat"),
+            F.sum("__cnt").alias("__n"),
+        )
 
+    def evaluate(
+        self,
+        df: DataFrame,
+        *,
+        key_col: str,
+        partition_col: str,
+        violation_limit: int,
+        persisted: list[DataFrame] | None = None,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        stat = self.statistic_df(df, partition_col)
         small = F.col("__n") < F.lit(self.min_rows)
         verdicts = stat.select(
             F.col("__part").alias("partition"),

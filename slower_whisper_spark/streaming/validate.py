@@ -143,19 +143,28 @@ def turn_lifecycle(
         k = key[0]
         if state.hasTimedOut:
             seq, start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "key": k,
-                        "segment_id": f"{k}-{seq}",
-                        "status": "FINALIZED",
-                        "turn_start": start,
-                        "turn_end": last,
-                        "n_events": n,
-                    }
-                ]
-            )
+            # Preserve the seq counter across finalization: state.remove()
+            # here would reset the key to seq=0 on its next event, re-emitting
+            # segment_id "{key}-0" and conflating a NEW turn with the earlier
+            # FINALIZED one in overwrite-by-segment_id sinks. Instead park a
+            # sentinel (start=None) carrying seq+1; no timeout is re-armed, so
+            # the sentinel never fires again. Cost: state stays O(live keys ∪
+            # finalized keys) — one fixed-width tuple per key ever seen, the
+            # same bound the streaming state store already assumes.
+            state.update((seq + 1, None, None, 0))
+            if start is not None:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "key": k,
+                            "segment_id": f"{k}-{seq}",
+                            "status": "FINALIZED",
+                            "turn_start": start,
+                            "turn_end": last,
+                            "n_events": n,
+                        }
+                    ]
+                )
             return
         seq, start, last, n = state.get if state.exists else (0, None, None, 0)
         ts = []

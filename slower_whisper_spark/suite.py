@@ -35,7 +35,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from slower_whisper_spark.functions.hashing import canonical_hash
+from slower_whisper_spark.functions.hashing import canonical_hash, spec_hash
 from slower_whisper_spark.rules.base import RowRule, Rule, TableRule
 
 VERDICT_COLS = ["partition", "rule_id", "passed", "rows", "violations", "observed", "expected"]
@@ -116,7 +116,10 @@ class ConstraintSuite:
 
     @property
     def suite_hash(self) -> str:
-        return canonical_hash(self.spec())
+        # spec_format is a serialization marker, not semantics: hash the
+        # semantic content only, so format upgrades never invalidate
+        # checkpoints or lockfiles (see functions.hashing.spec_hash).
+        return spec_hash(self.spec())
 
     # ------------------------------------------------------------------ #
 

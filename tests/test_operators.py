@@ -339,10 +339,14 @@ def test_jaccard_prune_stats_and_persisted(spark):
     receives internally cached DataFrames for caller unpersist."""
     rows = [(i, f"common shingle words here unique{i} tail{i} more{i}") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = jaccard_pairs(df, "text", "doc_id", threshold=0.9, max_df=5)
+    stats: dict = {}
+    out = jaccard_pairs(df, "text", "doc_id", threshold=0.9, max_df=5, stats_out=stats)
     out.collect()
     # 'common shingle words'/'shingle words here' appear in all 10 docs
     assert out.stop_shingle_stats["stop_shingles_pruned"] >= 1
+    # stats_out is the durable channel (the DataFrame attribute does not
+    # survive downstream transformations)
+    assert stats["stop_shingles_pruned"] == out.stop_shingle_stats["stop_shingles_pruned"]
 
     # no pruning triggered → stats report zero
     out2 = jaccard_pairs(df, "text", "doc_id", threshold=0.9, max_df=100)
@@ -352,7 +356,87 @@ def test_jaccard_prune_stats_and_persisted(spark):
     cand = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, bands=8, persisted=held)
     verified = jaccard_pairs(df, "text", "doc_id", threshold=0.9, candidates=cand, persisted=held)
     verified.collect()
-    assert len(held) == 2  # band_rows + candidate pair set
+    # candidate pair set only: the band-rows persist is gone (the windowed
+    # bucket guard makes both self-join sides one reusable exchange)
+    assert len(held) == 1
     for d in held:
         assert d.storageLevel.useMemory  # actually persisted
         d.unpersist()
+
+
+def test_embedding_neardup_bucket_guard(spark):
+    """Scale guard: a low-entropy corpus (one giant clique of near-identical
+    vectors — the expected input for a near-dup pass) must NOT send the LSH
+    bucket self-join quadratic. Buckets over max_bucket_size are dropped
+    (eagerly counted + logged, mirroring minhash_lsh_candidates); cliques
+    under the cap verify exactly."""
+    import numpy as np
+    from slower_whisper_spark.operators import embedding_near_duplicates
+
+    rng = np.random.RandomState(11)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    rows = []
+    # big clique: 600 copies of base_a → every table's bucket holds 600 > cap
+    for i in range(600):
+        rows.append((i, [float(x) for x in base_a]))
+    # small clique: 30 copies of base_b → under the cap, must survive intact
+    for i in range(600, 630):
+        rows.append((i, [float(x) for x in base_b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = embedding_near_duplicates(
+        df, threshold=0.99, n_planes=4, n_tables=4, seed=5, dim=8, max_bucket_size=200
+    ).toPandas()
+    # identical vectors share EVERY table's bucket, so the big clique's
+    # buckets are all over-cap → dropped; the small clique's 30·29/2 pairs
+    # all survive and verify at cos=1
+    small_ids = set(range(600, 630))
+    assert len(out) == 30 * 29 // 2, len(out)
+    assert set(out["id_a"]).issubset(small_ids) and set(out["id_b"]).issubset(small_ids)
+
+    # guard is a no-op when nothing exceeds the cap: same pair set either way
+    capped = embedding_near_duplicates(
+        df.filter(F.col("vec_id") >= 600), threshold=0.99, n_planes=4, n_tables=4,
+        seed=5, dim=8, max_bucket_size=200,
+    ).toPandas()
+    unguarded = embedding_near_duplicates(
+        df.filter(F.col("vec_id") >= 600), threshold=0.99, n_planes=4, n_tables=4,
+        seed=5, dim=8, max_bucket_size=None,
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b"]].to_numpy()))
+    assert key(capped) == key(unguarded)
+
+
+def test_cosine_pair_zero_norm_is_null(spark):
+    """Zero-norm vectors must produce NULL cosine, not NaN: Spark orders NaN
+    larger than any number, so NaN would pass `cos >= t` filters and rank
+    FIRST in top-k desc windows. NULL is filtered by >= and sorts last."""
+    from slower_whisper_spark.functions.vectorized import make_cosine_pair
+
+    cos = make_cosine_pair()
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [1.0, 0.0], [0.0, 0.0]),  # zero-norm right side
+            (3, [0.0, 0.0], [0.0, 0.0]),  # both zero
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", cos("a", "b").alias("c")).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None and got[3] is None
+    # a >= filter excludes the zero-norm rows (NaN would have passed)
+    kept = df.select("id", cos("a", "b").alias("c")).filter(F.col("c") >= 0.5)
+    assert {r["id"] for r in kept.collect()} == {1}
+    # and embedding_near_duplicates never pairs a zero vector
+    from slower_whisper_spark.operators import embedding_near_duplicates
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [0.0] * 8), (4, [0.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.9, n_planes=2, n_tables=2, seed=1, dim=8, max_bucket_size=None
+    ).toPandas()
+    assert sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == [(1, 2)]

@@ -65,3 +65,21 @@ def test_violation_limit_first_n_by_key(docs_small):
     for rid, grp in cv.groupby("rule_id"):
         expect = sorted(fv[fv["rule_id"] == rid]["key"])[:lim]
         assert sorted(grp["key"]) == expect
+
+
+def test_suite_hash_ignores_spec_format_marker():
+    """spec_format is a serialization marker, not semantics: bumping it must
+    NOT change suite_hash (which would force a one-time re-validation of
+    every checkpointed partition and break lockfile hash-matches). A v1-era
+    spec without the key hashes identically."""
+    from slower_whisper_spark.functions.hashing import canonical_hash, spec_hash
+
+    s = _suite()
+    spec = s.spec()
+    assert spec["spec_format"] == 2
+    legacy = {k: v for k, v in spec.items() if k != "spec_format"}
+    assert s.suite_hash == spec_hash(spec) == canonical_hash(legacy)
+    # but semantic changes still change the hash
+    bumped = dict(spec)
+    bumped["version"] = spec["version"] + 1
+    assert spec_hash(bumped) != s.suite_hash

@@ -170,3 +170,66 @@ def test_turn_lifecycle_partial_then_finalized(tmp_path, spark):
     assert by[("u2-0", "FINALIZED")][0]["n_events"] == 1
     # u3-0's timeout (t0+4030) is beyond the final watermark: stays open
     assert ("u3-0", "PARTIAL") in by and ("u3-0", "FINALIZED") not in by
+
+
+def test_turn_lifecycle_seq_survives_timeout(tmp_path, spark):
+    """A key that resumes AFTER its turn finalized via state timeout must get
+    a FRESH segment_id ({key}-1), not re-emit {key}-0: the timeout branch
+    parks a sentinel state carrying seq+1 instead of state.remove(), so ids
+    never repeat per key and overwrite-by-segment_id sinks never conflate a
+    new turn with an earlier FINALIZED one."""
+    import datetime as dt
+    import os
+    import time
+
+    from slower_whisper_spark.streaming.validate import turn_lifecycle
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    src = str(tmp_path / "seq_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "key string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)
+
+    # batch 0: u1 turn 0
+    write_file([("u1", t0)])
+    # batch 1: unrelated key advances the watermark past u1-0's timeout
+    write_file([("u9", t0 + 1000 * sec)])
+    # batch 2: another u9 event — u1-0's TIMEOUT fires in this batch (u1 has
+    # no data here, so it takes the hasTimedOut branch, not the in-data gap)
+    write_file([("u9", t0 + 1001 * sec)])
+    # batch 3: u1 RESUMES after its turn was timeout-finalized
+    write_file([("u1", t0 + 2000 * sec)])
+
+    stream = spark.readStream.schema("key string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = turn_lifecycle(stream, key_col="key", ts_col="ts", gap_seconds=30.0, watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("turns_seq_tbl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "seq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM turns_seq_tbl WHERE key = 'u1'").collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["segment_id"], r["status"]), []).append(r)
+
+    # turn 0 finalized via the state timeout
+    assert ("u1-0", "FINALIZED") in by, sorted(by)
+    # the resumed turn is u1-1 — NOT a second life of u1-0
+    assert ("u1-1", "PARTIAL") in by, sorted(by)
+    fin0 = by[("u1-0", "FINALIZED")][0]
+    p1 = by[("u1-1", "PARTIAL")][0]
+    assert p1["turn_start"] - fin0["turn_start"] == 2000.0
+    # no post-finalization row ever reused segment_id u1-0
+    post = [r for r in rows if r["segment_id"] == "u1-0" and r["turn_start"] != fin0["turn_start"]]
+    assert post == []
