@@ -16,6 +16,9 @@ import __spark_entry__ as entry_mod
 # driver correctness runs at sf0.01; default to the fast tier locally,
 # SWS_TEST_SF_DIR=/root/testdata/sf0.01 for the full-fidelity check
 SF_DIR = os.environ.get("SWS_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracles with data-derived literals (kll_drift_psi) must build them from
+# the tier this test reads
+os.environ["SWS_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
