@@ -26,7 +26,18 @@ def get_spark(
     locally; on a real cluster it should be set to ~2-3x total cores and
     AQE coalescing will trim empty partitions.
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        # honor a spark-submit launch: the submit line's --master lands in
+        # the JVM system properties, which SparkConf(loadDefaults) exposes;
+        # overriding it with local[*] would silently turn a cluster submit
+        # into a single-node run
+        from pyspark import SparkConf
+
+        submit_conf = SparkConf()
+        if submit_conf.contains("spark.master"):
+            master = submit_conf.get("spark.master")
+    master = master or "local[*]"
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         if master.startswith("local["):
