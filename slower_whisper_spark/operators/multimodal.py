@@ -145,11 +145,14 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     Adam7-interlaced images return None (caller falls back to the hash
     feature, documented). Returns (height, width, channels) uint8.
 
-    Row un-filtering is a numpy-per-row loop; Sub/Average/Paeth are
-    sequential within a row by definition (each pixel depends on the
-    previous), so those filters pay a per-byte Python loop — fine for the
-    thumbnail-scale images validated here; a production pipeline swaps in a
-    codec library behind the same decoder tier."""
+    Row un-filtering dispatches per filter type on vectorization: None/Up
+    are whole-row numpy ops; Sub is a per-channel CUMSUM mod 256 (the
+    recurrence out[i] = raw[i] + out[i-ch] telescopes to a prefix sum per
+    channel lane — fully vectorized); Average/Paeth remain genuinely
+    sequential (their predictor divides/branches on the previous OUTPUT
+    pixel, which doesn't telescope) but loop per PIXEL with numpy channel
+    vectors, not per byte. A production pipeline swaps in a codec library
+    behind the same decoder tier."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     try:
@@ -185,22 +188,32 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             pass
         elif f == 2:  # Up: fully vectorized (uint8 wraps = mod-256 per spec)
             cur += prev
-        elif f == 1:  # Sub
-            for i2 in range(channels, stride):
-                cur[i2] = (int(cur[i2]) + int(cur[i2 - channels])) & 0xFF
-        elif f == 3:  # Average
-            for i2 in range(stride):
-                a = int(cur[i2 - channels]) if i2 >= channels else 0
-                cur[i2] = (int(cur[i2]) + ((a + int(prev[i2])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i2 in range(stride):
-                a = int(cur[i2 - channels]) if i2 >= channels else 0
-                bb = int(prev[i2])
-                c = int(prev[i2 - channels]) if i2 >= channels else 0
+        elif f == 1:  # Sub: out[i] = raw[i] + out[i-ch] telescopes to a
+            # per-channel-lane prefix sum; cumsum in int64, wrap once
+            lanes = cur.reshape(w, channels).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 3:  # Average: sequential per pixel, vector per channel
+            px = cur.reshape(w, channels).astype(np.int32)
+            pv = prev.reshape(w, channels).astype(np.int32)
+            a = np.zeros(channels, dtype=np.int32)
+            for x in range(w):
+                a = (px[x] + ((a + pv[x]) >> 1)) & 0xFF
+                px[x] = a
+            cur = px.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth: sequential per pixel, vector per channel
+            px = cur.reshape(w, channels).astype(np.int32)
+            pv = prev.reshape(w, channels).astype(np.int32)
+            a = np.zeros(channels, dtype=np.int32)
+            c = np.zeros(channels, dtype=np.int32)
+            for x in range(w):
+                bb = pv[x]
                 p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                cur[i2] = (int(cur[i2]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c))
+                a = (px[x] + pred) & 0xFF
+                px[x] = a
+                c = bb
+            cur = px.astype(np.uint8).reshape(stride)
         else:
             return None
         out[y] = cur
