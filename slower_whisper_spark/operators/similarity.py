@@ -276,6 +276,80 @@ def train_ivf_centroids(
     return C
 
 
+def train_ivf_centroids_distributed(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Spherical-kmeans IVF centroids with NO driver-side data collection —
+    the cluster-scale twin of ``train_ivf_centroids`` (which stays the
+    default: its ≤10⁵ sample transfer is one bounded job and trains in
+    milliseconds).
+
+    Exact distributed Lloyd, the KLL-manifest pattern applied to kmeans
+    state: each iteration is ONE ``mapInPandas`` pass where every Arrow
+    batch emits its mergeable partial — (cell, count, per-dimension vector
+    sum) — against the broadcast current centroids; the ≤ batches ×
+    n_centroids partial rows collect to the driver (independent of corpus
+    size) and merge by summation, exactly associative/commutative like the
+    KLL sketch merge. Update = row-normalized merged mean; empty cells
+    re-seed from deterministic directions. Per-iteration cost: one scan, a
+    BLAS argmax per batch, ~n_centroids·dim·n_batches doubles over the wire
+    — no shuffle at all. Deterministic for a fixed seed (summation merged in
+    sorted cell order on the driver; float batch-order variation stays
+    below centroid-movement scale and the final assignment argmax is
+    robust to it at test tolerance).
+
+    Reference analog: the trained-vs-seeded routing recall contract of
+    ``train_ivf_centroids`` (same assertion runs against both paths)."""
+    d = dim or _vec_dim(df, vec_col, None)
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    C = _ivf_centroids(d, n_centroids, seed)
+
+    import pandas as pd
+
+    out_schema = "cell int, n long, s array<double>"
+    for _ in range(n_iter):
+        Cb = C.copy()
+
+        def partials(batches, _C=Cb):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(X @ _C.T, axis=1)
+                cells, inv = np.unique(assign, return_inverse=True)
+                sums = np.zeros((len(cells), X.shape[1]))
+                np.add.at(sums, inv, X)
+                counts = np.bincount(inv, minlength=len(cells))
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype("int32"),
+                        "n": counts.astype("int64"),
+                        "s": [row.tolist() for row in sums],
+                    }
+                )
+
+        rows = vecs.mapInPandas(partials, schema=out_schema).collect()
+        sums = np.zeros((n_centroids, d))
+        counts = np.zeros(n_centroids)
+        for r in sorted(rows, key=lambda r: r["cell"]):  # deterministic merge order
+            sums[r["cell"]] += np.asarray(r["s"])
+            counts[r["cell"]] += r["n"]
+        reseed = _ivf_centroids(d, n_centroids, seed + 1)
+        for j in range(n_centroids):
+            if counts[j]:
+                C[j] = sums[j] / max(np.linalg.norm(sums[j]), 1e-12)
+            else:
+                C[j] = reseed[j]
+    return C
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

@@ -331,6 +331,19 @@ def test_trained_ivf_centroids_beat_seeded(spark):
     assert r_trained > r_seeded, (r_trained, r_seeded)
     assert r_trained >= 0.9, r_trained  # kmeans recovers the 16 true clusters
 
+    # distributed Lloyd (mapInPandas partials, zero driver data collection)
+    # must reach recall parity with the sampled path on the same fixture
+    from slower_whisper_spark.operators.similarity import train_ivf_centroids_distributed
+
+    dist = train_ivf_centroids_distributed(
+        emb, vec_col="embedding", n_centroids=16, n_iter=10, seed=7, dim=16
+    )
+    r_dist = recall(dist)
+    assert r_dist > r_seeded, (r_dist, r_seeded)
+    assert r_dist >= 0.9, r_dist
+    # parity-or-better: full-data Lloyd can only beat the sampled path
+    assert r_dist >= r_trained - 0.05, (r_dist, r_trained)
+
 
 def test_jaccard_prune_stats_and_persisted(spark):
     """'No silent caps': with max_df active the result carries
