@@ -35,6 +35,84 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _KLL_BASELINE_CACHE: dict = {}
 
 
+# --------------------------------------------------------------------- #
+# PNG fixture for the multimodal-decode driver row: images are ENCODED here
+# (pure stdlib zlib + struct, one of the five PNG filter types per image)
+# from seeded pixel arrays; the engine DECODES them distributed. The oracle
+# is the per-image pixel mean computed from the RAW arrays — no decoder on
+# the oracle side, so the row genuinely checks encode→decode round-trip
+# fidelity, not one function against itself.
+# --------------------------------------------------------------------- #
+def _png_fixture(n_images: int = 20):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.RandomState(1000 + i)
+        ch = [1, 2, 3, 4][i % 4]
+        filt = i % 5
+        w, h = 13 + (i % 7), 9 + (i % 5)
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        stride = w * ch
+        parts = []
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            row = img[y].reshape(stride)
+            r = row.astype(int)
+            p = prev.astype(int)
+            if filt == 0:
+                enc = r.copy()
+            elif filt == 1:
+                enc = r.copy()
+                enc[ch:] = (r[ch:] - r[:-ch]) & 0xFF
+            elif filt == 2:
+                enc = (r - p) & 0xFF
+            elif filt == 3:
+                a = np.concatenate([np.zeros(ch, dtype=int), r[:-ch]])
+                enc = (r - ((a + p) >> 1)) & 0xFF
+            else:  # Paeth
+                a = np.concatenate([np.zeros(ch, dtype=int), r[:-ch]])
+                c = np.concatenate([np.zeros(ch, dtype=int), p[:-ch]])
+                pr = a + p - c
+                pa, pb, pc = np.abs(pr - a), np.abs(pr - p), np.abs(pr - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, p, c))
+                enc = (r - pred) & 0xFF
+            parts.append(bytes([filt]) + bytes(enc.astype(np.uint8)))
+            prev = row
+        raw = b"".join(parts)
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+        def chunk(cid, data):
+            return (
+                struct.pack(">I", len(data))
+                + cid
+                + data
+                + struct.pack(">I", zlib.crc32(cid + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        rows.append(
+            {
+                "img_id": i,
+                "png": png,
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "mean_px": round(float(img.mean()), 6),
+            }
+        )
+    return rows
+
+
 def _kll_doc_baseline(sf_dir: str, n_buckets: int = 8):
     key = (sf_dir, n_buckets)
     if key not in _KLL_BASELINE_CACHE:
@@ -384,6 +462,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kll_drift_psi"] = q_kll_drift_psi
 
+    # ---- multimodal: distributed PNG pixel decode -------------------------- #
+    def q_png_decode(spark, sf):
+        """Distributed PNG pixel decode over a binary column (the multimodal
+        plumbing pattern: opaque bytes + Arrow-batched mapInPandas, numpy
+        decode per payload, typed metadata out). Input is the deterministic
+        in-repo PNG fixture — 20 images over all 5 filter types × 4 color
+        types, ENCODED from seeded raw arrays; the oracle is the per-image
+        pixel mean of those RAW arrays as literals, so the row checks
+        encode→decode round-trip fidelity end to end on the cluster path."""
+        import pandas as pd
+
+        from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+        rows = _png_fixture()
+        df = spark.createDataFrame(
+            [(r["img_id"], bytearray(r["png"])) for r in rows],
+            "img_id long, png binary",
+        ).repartition(8, "img_id")
+
+        cols = ["img_id", "width", "height", "channels", "mean_px"]
+
+        def decode(batches):
+            for pdf in batches:
+                out = []
+                for img_id, png in zip(pdf["img_id"], pdf["png"]):
+                    px = decode_png_pixels(bytes(png))
+                    if px is None:  # undecodable payload → metadata-only row
+                        out.append((int(img_id), None, None, None, None))
+                        continue
+                    out.append(
+                        (
+                            int(img_id),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.shape[2]),
+                            round(float(px.mean()), 6),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=cols)
+
+        return df.mapInPandas(
+            decode,
+            "img_id long, width long, height long, channels long, mean_px double",
+        ).orderBy("img_id")
+
+    q["png_decode"] = q_png_decode
+
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
         """TPC-H Q1-style pricing summary (classic wide agg)."""
@@ -609,6 +734,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["big_orders"] = q_big_orders
+
+    def q_min_cost_supplier(spark, sf):
+        """TPC-H Q2 shape re-expressed Spark-first: the classic correlated
+        'supplier with the minimum cost per part within a region' subquery
+        becomes ONE windowed rank over the offers (lineitem ⋈ supplier ⋈
+        nation ⋈ region with all three dims BROADCAST — no shuffle of the
+        fact for dimension lookups), ranked by (unit_cost, s_suppkey) so
+        float ties break deterministically on both engines. No per-part
+        re-execution, no float-equality join."""
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        from pyspark.sql import Window
+
+        eu = (
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_name", "n_name")
+        )
+        offers = li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey).select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+        w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
+        return (
+            offers.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("l_partkey").alias("p_partkey"),
+                "s_suppkey",
+                "s_name",
+                "n_name",
+                F.round("unit_cost", 6).alias("unit_cost"),
+            )
+            .orderBy("p_partkey")
+        )
+
+    q["min_cost_supplier"] = q_min_cost_supplier
 
     def q_bpe_tokens(spark, sf):
         """BPE-ish token estimate: letter runs count 1, each digit counts 1,
@@ -1206,10 +1373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds apart:
     #   r4 tail (all green r1-r3 on unchanged code): pattern_violations,
     #     enum_violations, conditional_verdicts, median_by_group,
-    #     categorical_distribution, unique_check
-    #   r5 tail (green r4): rotate back; park e.g. dup_key_counts,
-    #     cross_field_join, hash_invariant, sessionize, adjacent_gaps,
-    #     distinct_users instead.
+    #     categorical_distribution, unique_check, dup_key_counts,
+    #     cross_field_join
+    #   r5 tail (green r4): rotate back; park e.g. hash_invariant,
+    #     sessionize, adjacent_gaps, distinct_users, top_customers,
+    #     shipping_priority, dedup_exact, token_counts instead.
     _TAIL_R4 = [
         "pattern_violations",
         "enum_violations",
@@ -1217,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_by_group",
         "categorical_distribution",
         "unique_check",
+        "dup_key_counts",
+        "cross_field_join",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R4}
     rotated.update({k: q[k] for k in _TAIL_R4})
@@ -1339,6 +1509,23 @@ def _ann_lsh_oracle() -> str:
     )
     SELECT query_id, neighbor_id FROM scored WHERE rank <= 5
     ORDER BY query_id, neighbor_id
+    """
+
+
+def _png_decode_oracle() -> str:
+    """Expected decode output as literals computed from the RAW pixel arrays
+    (the encoder's input) — the oracle side never runs the decoder."""
+    rows = _png_fixture()
+    vals = ",\n      ".join(
+        f"({r['img_id']}, {r['width']}, {r['height']}, {r['channels']}, {r['mean_px']!r})"
+        for r in rows
+    )
+    return f"""
+    SELECT img_id::BIGINT AS img_id, width::BIGINT AS width,
+           height::BIGINT AS height, channels::BIGINT AS channels,
+           mean_px::DOUBLE AS mean_px
+    FROM (VALUES {vals}) AS t(img_id, width, height, channels, mean_px)
+    ORDER BY img_id
     """
 
 
@@ -1580,6 +1767,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 100 ORDER BY doc_id
         """,
         "kll_drift_psi": _kll_drift_oracle(),
+        "png_decode": _png_decode_oracle(),
+        "min_cost_supplier": """
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+                   round(unit_cost, 6) AS unit_cost
+            FROM (
+              SELECT li.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+                     li.l_extendedprice / li.l_quantity AS unit_cost,
+                     row_number() OVER (PARTITION BY li.l_partkey
+                       ORDER BY li.l_extendedprice / li.l_quantity ASC,
+                                s.s_suppkey ASC) AS rn
+              FROM lineitem li
+              JOIN supplier s ON li.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ) WHERE rn = 1 ORDER BY p_partkey
+        """,
         "drift_histogram": """
             SELECT o_orderpriority,
                    least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
