@@ -229,6 +229,87 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, vec, cell) — the corpus with its IVF cell materialized, for
+    ``df.write.partitionBy("cell")``: at 10^9+ vectors the probe path then
+    reads ONLY the probed cells' files (hive partition pruning — proved by a
+    PartitionFilters plan test), turning a full-corpus scan into
+    n_probe/n_centroids of the data per query batch."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _ivf_centroids(_vec_dim(df, vec_col, dim), n_centroids, seed)
+    from slower_whisper_spark.functions.vectorized import make_ivf_assign
+
+    assign1 = make_ivf_assign(cents, n_probe=1)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+
+
+def ivf_topk_partitioned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+    n_centroids: int = 16,
+    seed: int = 42,
+    exclude_self: bool = True,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF top-k over a cell-partitioned corpus (``ivf_assign_cells`` →
+    ``write.partitionBy("cell")`` → read back): the probed cell set is
+    collected from the (small, broadcast-regime) query side first and pushed
+    into the corpus scan as ``cell IN (...)`` — a PARTITION filter on the
+    hive layout, so unprobed cells' files are never opened. Same results as
+    ``ivf_topk`` with the same centroids (asserted in tests); this variant
+    exists for corpora big enough that reading 100% of the vectors to route
+    them per query batch is the dominant cost."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _ivf_centroids(_vec_dim(queries, vec_col, dim), n_centroids, seed)
+    from slower_whisper_spark.functions.vectorized import make_ivf_assign
+
+    assignp = make_ivf_assign(cents, n_probe=n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    # one tiny job on the query side yields the probe set — the partition
+    # filter literal for the corpus scan
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = corpus.filter(F.col("cell").isin(probed)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    cand = c.join(F.broadcast(q), "cell").select("query_id", "neighbor_id", "__qv", "__cv")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", _pair_cos(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     *,

@@ -177,3 +177,50 @@ def test_idle_rich_customers_scalar_broadcast_anti(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan[:800]
     assert has_broadcast_join(df)
+
+
+def test_ivf_partitioned_corpus_prunes_probed_cells(spark, tmp_path_factory):
+    """The IVF scale path on disk: corpus written partitionBy(cell) → the
+    probe query pushes `cell IN (probed)` into the scan as a PARTITION
+    filter, so unprobed cells' files are never opened — and the pruned
+    variant returns exactly ivf_topk's answer for the same centroids."""
+    import numpy as np
+
+    from slower_whisper_spark.operators import ivf_topk
+    from slower_whisper_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_topk_partitioned,
+    )
+    from slower_whisper_spark.plans import explain_str
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(800, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "corpus")
+    ivf_assign_cells(emb, n_centroids=16, seed=9, dim=16).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    corpus = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    out = ivf_topk_partitioned(
+        corpus, queries, k=10, n_probe=4, n_centroids=16, seed=9, dim=16
+    )
+    plain = ivf_topk(emb, queries, k=10, n_probe=4, n_centroids=16, seed=9, dim=16)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in plain.collect()}
+    assert got == want and len(got) == 5 * 10
+
+    # the probe's cell set reached the scan as a PARTITION filter (file-level
+    # pruning on the hive layout: only matching cell= directories are listed)
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan, plan[:2000]
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    # and it is a partition filter, not a post-scan data filter
+    assert "cell" not in "".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)), plan[:2000]
