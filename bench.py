@@ -243,20 +243,30 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+def run_query_bench(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query cold (first run: plan analysis + codegen + execution) AND
+    warm (best of 2: steady-state execution) timings. Warm is the headline —
+    the same argument as the suite metric: on a long-running cluster the
+    plan/codegen caches are hot and only the execution regime scales with
+    data; cold is reported alongside so one-shot latency is never hidden."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    out = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.monotonic() - t0, 3)
-    return out
+        times = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            times.append(round(time.monotonic() - t0, 3))
+        cold[name] = times[0]
+        warm[name] = min(times)
+    return warm, cold
 
 
 def main() -> None:
@@ -276,7 +286,10 @@ def main() -> None:
     spark.read.parquet(paths["docs"]).limit(1).count()
 
     suite_metrics = run_suite_bench(spark, paths)
-    queries = {} if os.environ.get("SWS_BENCH_SKIP_QUERIES") else run_query_bench(spark, sf_dir)
+    if os.environ.get("SWS_BENCH_SKIP_QUERIES"):
+        queries, queries_cold = {}, {}
+    else:
+        queries, queries_cold = run_query_bench(spark, sf_dir)
     llm_ops = run_llm_ops_bench(spark, paths) if os.environ.get("SWS_BENCH_LLM_OPS") else {}
 
     probe = {}
@@ -303,7 +316,11 @@ def main() -> None:
                 "metric": "full_suite_warm_wall_sec",
                 "value": round(suite_metrics["warm_wall_sec"], 3),
                 "unit": "sec",
+                # per-query: steady-state best-of-2 (plan/codegen caches hot —
+                # the long-running-cluster regime, same protocol as the suite
+                # warm metric); first-run timings alongside in queries_cold
                 "queries": queries,
+                "queries_cold": queries_cold,
                 "sf": float(sf),
                 "suite_rows": suite_metrics["rows"],
                 "suite_docs_per_sec": round(suite_metrics["warm_docs_per_sec"], 1),
