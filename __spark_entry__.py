@@ -127,7 +127,8 @@ def _kll_doc_baseline(sf_dir: str, n_buckets: int = 8):
         langs = [
             r[0]
             for r in con.sql(
-                f"SELECT DISTINCT lang FROM {docs} WHERE doc_id % 2 = 0 ORDER BY lang"
+                f"SELECT DISTINCT lang FROM {docs} "
+                "WHERE doc_id % 2 = 0 AND lang IS NOT NULL ORDER BY lang"
             ).fetchall()
         ]
         raws = []
@@ -423,7 +424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from slower_whisper_spark.functions.kll import kll_profile
         from slower_whisper_spark.rules.drift import Drift, kll_baseline_from_manifest
 
-        docs = _t(spark, sf, "documents")
+        # NULL-lang rows (datagen plants a few at larger tiers) are excluded
+        # on BOTH sides: a None partition key would break the sorted merge
+        # order and the oracle's per-lang replay; the NULL-partition path is
+        # exercised by the suite's partition_col=None mode instead
+        docs = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
         base_half = docs.filter(F.col("doc_id") % 2 == 0)
         rows = sorted(
             kll_profile(
@@ -776,6 +781,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["min_cost_supplier"] = q_min_cost_supplier
+
+    def q_nation_volume(spark, sf):
+        """TPC-H Q7 shape: shipping volume between two nations by year —
+        fact ⋈ fact (lineitem ⋈ orders, the one unavoidable big shuffle,
+        on the join key) with every dimension lookup broadcast; the
+        (supp_nation, cust_nation) pair filter prunes before aggregation."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+        n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+            .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+            .filter(
+                ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+                | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+            )
+        )
+        return (
+            joined.groupBy(
+                "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    q["nation_volume"] = q_nation_volume
+
+    def q_market_share(spark, sf):
+        """TPC-H Q8 shape: one nation's share of a region's market by year —
+        a conditional-sum ratio over the same broadcast-dim star join, so
+        the 'share' division happens on two already-reduced scalars per
+        group (no second scan)."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+        cust_region = (
+            c.join(F.broadcast(n.select("n_nationkey", "n_regionkey")), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == r.r_regionkey)
+            .select("c_custkey")
+        )
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        )
+        return (
+            joined.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                    / F.sum(vol),
+                    6,
+                ).alias("mkt_share")
+            )
+            .orderBy("o_year")
+        )
+
+    q["market_share"] = q_market_share
 
     def q_bpe_tokens(spark, sf):
         """BPE-ish token estimate: letter runs count 1, each digit counts 1,
@@ -1374,10 +1454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r4 tail (all green r1-r3 on unchanged code): pattern_violations,
     #     enum_violations, conditional_verdicts, median_by_group,
     #     categorical_distribution, unique_check, dup_key_counts,
-    #     cross_field_join
+    #     cross_field_join, top_customers, shipping_priority
     #   r5 tail (green r4): rotate back; park e.g. hash_invariant,
-    #     sessionize, adjacent_gaps, distinct_users, top_customers,
-    #     shipping_priority, dedup_exact, token_counts instead.
+    #     sessionize, adjacent_gaps, distinct_users, dedup_exact,
+    #     token_counts, text_quality, fingerprint, pii_redact,
+    #     embedding_norms instead.
     _TAIL_R4 = [
         "pattern_violations",
         "enum_violations",
@@ -1387,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_check",
         "dup_key_counts",
         "cross_field_join",
+        "top_customers",
+        "shipping_priority",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R4}
     rotated.update({k: q[k] for k in _TAIL_R4})
@@ -1550,7 +1633,8 @@ def _kll_drift_oracle(n_buckets: int = 8, threshold: float = 0.25, min_rows: int
     base_rows += ", (-1, 0.0)"  # NULL bucket: zero baseline mass
     return f"""
     WITH cur AS (
-      SELECT lang, n_chars::DOUBLE AS x FROM documents WHERE doc_id % 2 = 1
+      SELECT lang, n_chars::DOUBLE AS x FROM documents
+      WHERE doc_id % 2 = 1 AND lang IS NOT NULL
     ),
     bk AS (
       SELECT lang,
@@ -1768,6 +1852,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kll_drift_psi": _kll_drift_oracle(),
         "png_decode": _png_decode_oracle(),
+        "nation_volume": """
+            SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
+            FROM (
+              SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     year(li.l_shipdate) AS l_year,
+                     li.l_extendedprice * (1 - li.l_discount) AS vol
+              FROM lineitem li
+              JOIN orders o ON li.l_orderkey = o.o_orderkey
+              JOIN supplier s ON li.l_suppkey = s.s_suppkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+                 OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "market_share": """
+            SELECT year(o.o_orderdate) AS o_year,
+                   round(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                                  THEN li.l_extendedprice * (1 - li.l_discount)
+                                  ELSE 0.0 END)
+                         / SUM(li.l_extendedprice * (1 - li.l_discount)), 6) AS mkt_share
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN supplier s ON li.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE o.o_custkey IN (
+              SELECT c.c_custkey FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA')
+            GROUP BY o_year ORDER BY o_year
+        """,
         "min_cost_supplier": """
             SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
                    round(unit_cost, 6) AS unit_cost

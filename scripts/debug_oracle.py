@@ -10,6 +10,9 @@ from slower_whisper_spark.session import get_spark
 import os
 
 SF = os.environ.get("SF", "/root/testdata/sf0.001")
+# oracles with data-derived literals (kll_drift_psi) must build them from
+# the SAME tier the duckdb views read, even when SF wasn't exported
+os.environ["SWS_ORACLE_SF_DIR"] = SF
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")

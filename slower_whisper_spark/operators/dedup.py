@@ -232,8 +232,9 @@ def jaccard_pairs(
     prunes via a broadcast ANTI-join: no shuffle of the shingle rows for
     pruning, versus the old semi-join against the (huge) rare-shingle set;
     pruning is skipped entirely when no shingle exceeds the bound. If the
-    stop set is itself too big to broadcast (>10^6: a pathologically
-    boilerplate corpus) it falls back to the shuffle semi-join.
+    stop set is itself too big to broadcast (>10^5 entries: a pathologically
+    boilerplate corpus) it falls back to the shuffle semi-join against the
+    rare set, reporting the pruned count as a lower bound.
 
     ``persisted``: pass a list to receive internally persisted DataFrames
     (the candidate pair set) for caller-controlled unpersist in long-running
@@ -275,31 +276,41 @@ def jaccard_pairs(
         if max_df:
             counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
             stop = counts.filter(F.col("__df") > max_df).select("s")
-            # One bounded job: pull the stop set to the driver (capped at the
-            # broadcast limit + 1). A broadcast join materializes the small
-            # side on the driver anyway, so this costs nothing extra — and
-            # leaves NOTHING persisted on the executors after the call.
-            stop_local = stop.limit(1_000_001).collect()
-            if len(stop_local) > 1_000_000:
-                n_stop = stop.count()  # exact count for the log
-            else:
+            # ONE bounded job: pull the stop set to the driver, capped. A
+            # stop shingle needs df > max_df occurrences, so a corpus has at
+            # most total_shingles/max_df of them — typically a handful; the
+            # cap only trips on pathologically boilerplate corpora. Collected
+            # rows feed the broadcast directly (what a broadcast join would
+            # materialize driver-side anyway) and NOTHING stays persisted.
+            _CAP = 100_000
+            stop_local = stop.limit(_CAP + 1).collect()
+            if len(stop_local) <= _CAP:
                 n_stop = len(stop_local)
-            prune_stats = {"stop_shingles_pruned": n_stop}
-            if n_stop:
-                _log.warning(
-                    "jaccard_pairs: stop-shingle pruning (max_df=%d) removed %d "
-                    "shingles from candidate generation — the pair set may "
-                    "differ from the unbounded exact path",
-                    max_df,
-                    n_stop,
-                )
-                if n_stop <= 1_000_000:
-                    spark = df.sparkSession
-                    stop_df = spark.createDataFrame(stop_local, schema=stop.schema)
+                prune_stats = {"stop_shingles_pruned": n_stop}
+                if n_stop:
+                    _log.warning(
+                        "jaccard_pairs: stop-shingle pruning (max_df=%d) removed "
+                        "%d shingles from candidate generation — the pair set "
+                        "may differ from the unbounded exact path",
+                        max_df,
+                        n_stop,
+                    )
+                    stop_df = df.sparkSession.createDataFrame(stop_local, schema=stop.schema)
                     ex = ex.join(F.broadcast(stop_df), "s", "left_anti")
-                else:  # stop set too big to broadcast: shuffle semi-join on rare
-                    rare = counts.filter(F.col("__df") <= max_df).drop("__df")
-                    ex = ex.join(rare, "s", "left_semi")
+            else:
+                # too many stop shingles to broadcast: ONE more aggregation
+                # (the rare-set semi-join) instead of an exact count + a
+                # third pass — the count is reported as a lower bound
+                prune_stats = {"stop_shingles_pruned_at_least": _CAP}
+                _log.warning(
+                    "jaccard_pairs: stop-shingle pruning (max_df=%d) removed "
+                    ">%d shingles (boilerplate-heavy corpus); falling back to "
+                    "the rare-shingle semi-join",
+                    max_df,
+                    _CAP,
+                )
+                rare = counts.filter(F.col("__df") <= max_df).drop("__df")
+                ex = ex.join(rare, "s", "left_semi")
         candidates = (
             ex.alias("a")
             .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -443,6 +443,7 @@ def embedding_near_duplicates(
     dim: int | None = None,
     max_bucket_size: int | None = 200,
     persisted: list[DataFrame] | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
     buckets + exact verification. As in ``lsh_bucketed_topk``, the
@@ -454,15 +455,20 @@ def embedding_near_duplicates(
     on low-entropy corpora (near-identical vectors — EXACTLY the input a
     near-dup pass meets — land in one giant bucket): buckets larger than the
     cap are dropped from candidate generation, mirroring
-    ``minhash_lsh_candidates``. No silent caps: the over-cap bucket set is
-    counted EAGERLY, logged, and pruned via a broadcast anti-join (the set is
-    tiny by construction — ≤ corpus/cap buckets). Members of a dropped bucket
-    can still pair through their OTHER n_tables-1 tables; pass ``None`` for
-    the unguarded exact-candidate path at test scale.
+    ``minhash_lsh_candidates`` — the same windowed count over the join keys,
+    so the guarded bucket rows are ONE exchange that both (merge-hinted)
+    self-join sides reuse: the Python-UDF bucket computation and its shuffle
+    run once, with nothing persisted. Members of a dropped bucket can still
+    pair through their OTHER n_tables-1 tables; pass ``None`` for the
+    unguarded exact-candidate path at test scale.
 
-    ``persisted``: receives the internally persisted bucket-rows DataFrame
-    (consumed by the size count + both join sides) for caller-controlled
-    unpersist; without it the cache lives until session end."""
+    ``stats_out``: pass a dict to ALSO count the dropped buckets eagerly
+    (one extra bounded job) — filled with ``{"buckets_dropped": n}`` and
+    logged, for callers that must surface cap effects; the default path adds
+    no extra job.
+
+    ``persisted``: accepted for interface stability; the current plan
+    persists nothing, so the list stays empty."""
     from slower_whisper_spark.functions.vectorized import make_lsh_buckets
 
     tables = _hyperplanes(_vec_dim(df, vec_col, dim), n_planes, n_tables, seed)
@@ -472,38 +478,31 @@ def embedding_near_duplicates(
         F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
     )
     if max_bucket_size:
-        # three consumers (size count + both join sides): persist so the
-        # (Python-UDF) bucket computation runs once
-        b = b.persist()
-        if persisted is not None:
-            persisted.append(b)
-        big = (
-            b.groupBy("table", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("table", "bucket")
-        )
-        big_local = big.limit(100_001).collect()  # one bounded job — eager, logged
-        if big_local:
-            _log.warning(
-                "embedding_near_duplicates: dropping %s bucket(s) larger than "
-                "max_bucket_size=%d from candidate generation — members may "
-                "still pair via their other %d table(s)",
-                f">{100_000}" if len(big_local) > 100_000 else len(big_local),
-                max_bucket_size,
-                n_tables - 1,
+        if stats_out is not None:
+            n_big = (
+                b.groupBy("table", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_bucket_size)
+                .count()
             )
-            if len(big_local) <= 100_000:
-                big_df = df.sparkSession.createDataFrame(big_local, schema=big.schema)
-                b = b.join(F.broadcast(big_df), ["table", "bucket"], "left_anti")
-            else:  # pathological: too many big buckets to broadcast
-                small = (
-                    b.groupBy("table", "bucket")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") <= max_bucket_size)
-                    .drop("__n")
+            stats_out["buckets_dropped"] = int(n_big)
+            if n_big:
+                _log.warning(
+                    "embedding_near_duplicates: dropping %d bucket(s) larger "
+                    "than max_bucket_size=%d from candidate generation — "
+                    "members may still pair via their other %d table(s)",
+                    n_big,
+                    max_bucket_size,
+                    n_tables - 1,
                 )
-                b = b.join(small, ["table", "bucket"], "left_semi")
+        w = Window.partitionBy("table", "bucket")
+        b = (
+            b.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    b = b.hint("merge")  # identical subtrees → one reused exchange, no AQE
+    # broadcast rebuild of the whole bucket computation for the build side
     cand = (
         b.alias("a")
         .join(

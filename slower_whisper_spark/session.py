@@ -27,30 +27,29 @@ def get_spark(
     AQE coalescing will trim empty partitions.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None:
-        # honor a spark-submit launch: the submit line's --master lands in
-        # the JVM system properties, which SparkConf(loadDefaults) exposes;
-        # overriding it with local[*] would silently turn a cluster submit
-        # into a single-node run
-        from pyspark import SparkConf
-
-        submit_conf = SparkConf()
-        if submit_conf.contains("spark.master"):
-            master = submit_conf.get("spark.master")
-    master = master or "local[*]"
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = "local[*]"
+    # Under spark-submit the JVM gateway already exists (PythonRunner exports
+    # PYSPARK_GATEWAY_PORT) and carries the submit line's --master; leaving
+    # the builder's master UNSET is the only way to honor it — setting any
+    # master here would silently turn a cluster submit into a single-node
+    # run. (Reading SparkConf() pre-session does NOT work: before the
+    # gateway attaches it is an empty Python-side dict.)
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
-        if master.startswith("local["):
+        if master and master.startswith("local["):
             inner = master[len("local[") : -1]
             n = cores if inner == "*" else int(inner)
         else:
             n = cores
         shuffle_partitions = max(8, 2 * n)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -115,7 +115,8 @@ def turn_lifecycle(
     the same id supersedes).
 
     Per key, events within ``gap_seconds`` of each other belong to one turn
-    ``{key}-{seq}``:
+    whose id is ``{key}-{turn_start_ms}`` — derived from the turn's EVENT
+    TIME, not a per-key counter:
 
       * every micro-batch that leaves a turn open emits a PARTIAL row for it
         (update output mode — downstream sinks overwrite by segment_id);
@@ -126,9 +127,18 @@ def turn_lifecycle(
         state store handles recovery, so a crash between PARTIAL and
         FINALIZED replays correctly from the checkpoint.
 
-    State is one fixed-width tuple per key (seq, start, last, n) — O(keys)
-    memory regardless of event volume; the pandas function sees Arrow
-    batches (no per-row Python dispatch at the JVM boundary)."""
+    Event-time-derived ids make finalization STATELESS-after-the-fact: the
+    state entry is removed on finalization, so the store stays O(open
+    turns) — NOT O(keys ever seen), which a per-key counter would require
+    retaining forever to keep ids unique (on a near-unique key like url
+    that is unbounded growth in every checkpoint). Ids still never collide:
+    successive turns of a key start > gap_seconds apart by construction,
+    and a replayed duplicate of a finalized turn's first event maps to the
+    SAME id — the idempotent outcome an overwrite-by-id sink wants.
+
+    State is one fixed-width tuple per open turn (start, last, n); the
+    pandas function sees Arrow batches (no per-row Python dispatch at the
+    JVM boundary)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -136,37 +146,32 @@ def turn_lifecycle(
         "key string, segment_id string, status string, "
         "turn_start double, turn_end double, n_events long"
     )
-    state_schema = "seq long, start double, last double, n long"
+    state_schema = "start double, last double, n long"
     gap = float(gap_seconds)
 
     def fn(key, pdfs, state):
         k = key[0]
+
+        def seg_id(start):
+            return f"{k}-{int(round(start * 1000))}"
+
         if state.hasTimedOut:
-            seq, start, last, n = state.get
-            # Preserve the seq counter across finalization: state.remove()
-            # here would reset the key to seq=0 on its next event, re-emitting
-            # segment_id "{key}-0" and conflating a NEW turn with the earlier
-            # FINALIZED one in overwrite-by-segment_id sinks. Instead park a
-            # sentinel (start=None) carrying seq+1; no timeout is re-armed, so
-            # the sentinel never fires again. Cost: state stays O(live keys ∪
-            # finalized keys) — one fixed-width tuple per key ever seen, the
-            # same bound the streaming state store already assumes.
-            state.update((seq + 1, None, None, 0))
-            if start is not None:
-                yield pd.DataFrame(
-                    [
-                        {
-                            "key": k,
-                            "segment_id": f"{k}-{seq}",
-                            "status": "FINALIZED",
-                            "turn_start": start,
-                            "turn_end": last,
-                            "n_events": n,
-                        }
-                    ]
-                )
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": k,
+                        "segment_id": seg_id(start),
+                        "status": "FINALIZED",
+                        "turn_start": start,
+                        "turn_end": last,
+                        "n_events": n,
+                    }
+                ]
+            )
             return
-        seq, start, last, n = state.get if state.exists else (0, None, None, 0)
+        start, last, n = state.get if state.exists else (None, None, 0)
         ts = []
         for pdf in pdfs:
             col = pdf[ts_col]
@@ -182,14 +187,13 @@ def turn_lifecycle(
                 rows.append(
                     {
                         "key": k,
-                        "segment_id": f"{k}-{seq}",
+                        "segment_id": seg_id(start),
                         "status": "FINALIZED",
                         "turn_start": start,
                         "turn_end": last,
                         "n_events": n,
                     }
                 )
-                seq += 1
                 start, last, n = t, t, 1
             else:
                 last, n = t, n + 1
@@ -197,14 +201,14 @@ def turn_lifecycle(
             rows.append(
                 {
                     "key": k,
-                    "segment_id": f"{k}-{seq}",
+                    "segment_id": seg_id(start),
                     "status": "PARTIAL",
                     "turn_start": start,
                     "turn_end": last,
                     "n_events": n,
                 }
             )
-            state.update((seq, float(start), float(last), int(n)))
+            state.update((float(start), float(last), int(n)))
             state.setTimeoutTimestamp(int((last + gap) * 1000))
         yield pd.DataFrame(rows)
 

@@ -97,3 +97,31 @@ def test_spark_submit_py_files_end_to_end(tmp_path, spark):
     assert summary["rows"] == 300
     assert summary["overall_passed"] is True
     assert summary["processed"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed")
+def test_spark_submit_master_is_honored(tmp_path):
+    """get_spark must NOT override the submit line's --master with local[*]
+    (regression: a pre-session SparkConf() is an empty dict, so conf-based
+    detection silently failed and every cluster submit became single-node)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import package as pkg
+
+    zip_path = pkg.build(str(tmp_path / "dist"))
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "from slower_whisper_spark.session import get_spark\n"
+        "print('MASTER=' + get_spark(app_name='probe').sparkContext.master)\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    env["SPARK_GRAFT_DRIVER_MEM"] = "1g"
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[3]", "--py-files", zip_path, str(probe)],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MASTER=local[3]" in proc.stdout, proc.stdout[-500:]

@@ -112,8 +112,8 @@ def test_session_window_turns_batch_and_stream(spark, tmp_path):
 def test_turn_lifecycle_partial_then_finalized(tmp_path, spark):
     """applyInPandasWithState PARTIAL→FINALIZED lifecycle: a turn emitted as
     PARTIAL in one micro-batch is superseded by a FINALIZED row with the
-    SAME segment_id once a gap (in-data) or the event-time timeout
-    (watermark passing last+gap) closes it."""
+    SAME segment_id ({key}-{turn_start_ms}) once a gap (in-data) or the
+    event-time timeout (watermark passing last+gap) closes it."""
     import datetime as dt
     import os
     import time
@@ -156,28 +156,34 @@ def test_turn_lifecycle_partial_then_finalized(tmp_path, spark):
     for r in rows:
         by.setdefault((r["segment_id"], r["status"]), []).append(r)
 
-    # u1-0: PARTIAL first, then FINALIZED with the same segment id
-    assert ("u1-0", "PARTIAL") in by and ("u1-0", "FINALIZED") in by
-    fin = by[("u1-0", "FINALIZED")][0]
+    ms0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    def sid(key, off_sec):
+        return f"{key}-{ms0 + off_sec * 1000}"
+
+    # u1 turn@t0: PARTIAL first, then FINALIZED with the same segment id
+    assert (sid("u1", 0), "PARTIAL") in by and (sid("u1", 0), "FINALIZED") in by, sorted(by)
+    fin = by[(sid("u1", 0), "FINALIZED")][0]
     assert fin["n_events"] == 3
     assert fin["turn_end"] - fin["turn_start"] == 10.0
     # the successor turn went PARTIAL first; the final watermark (t0+4000-1s)
     # then passed its timeout too, so it ALSO finalized — via state timeout
-    assert ("u1-1", "PARTIAL") in by
-    # u2-0 finalized purely via event-time STATE TIMEOUT (no successor event)
-    assert ("u2-0", "PARTIAL") in by
-    assert ("u2-0", "FINALIZED") in by, sorted(by)
-    assert by[("u2-0", "FINALIZED")][0]["n_events"] == 1
-    # u3-0's timeout (t0+4030) is beyond the final watermark: stays open
-    assert ("u3-0", "PARTIAL") in by and ("u3-0", "FINALIZED") not in by
+    assert (sid("u1", 600), "PARTIAL") in by
+    # u2 turn@t0 finalized purely via event-time STATE TIMEOUT (no successor)
+    assert (sid("u2", 0), "PARTIAL") in by
+    assert (sid("u2", 0), "FINALIZED") in by, sorted(by)
+    assert by[(sid("u2", 0), "FINALIZED")][0]["n_events"] == 1
+    # u3's turn timeout (t0+4030) is beyond the final watermark: stays open
+    assert (sid("u3", 4000), "PARTIAL") in by and (sid("u3", 4000), "FINALIZED") not in by
 
 
-def test_turn_lifecycle_seq_survives_timeout(tmp_path, spark):
+def test_turn_lifecycle_no_id_reuse_after_timeout(tmp_path, spark):
     """A key that resumes AFTER its turn finalized via state timeout must get
-    a FRESH segment_id ({key}-1), not re-emit {key}-0: the timeout branch
-    parks a sentinel state carrying seq+1 instead of state.remove(), so ids
-    never repeat per key and overwrite-by-segment_id sinks never conflate a
-    new turn with an earlier FINALIZED one."""
+    a FRESH segment_id: ids derive from the turn's event-time start, so a
+    later turn can never re-emit an earlier FINALIZED turn's id (the failure
+    a per-key counter had after state.remove() reset it) — while the state
+    entry is still removed on finalization, keeping the store O(open turns)
+    rather than O(keys ever seen)."""
     import datetime as dt
     import os
     import time
@@ -223,13 +229,16 @@ def test_turn_lifecycle_seq_survives_timeout(tmp_path, spark):
     for r in rows:
         by.setdefault((r["segment_id"], r["status"]), []).append(r)
 
-    # turn 0 finalized via the state timeout
-    assert ("u1-0", "FINALIZED") in by, sorted(by)
-    # the resumed turn is u1-1 — NOT a second life of u1-0
-    assert ("u1-1", "PARTIAL") in by, sorted(by)
-    fin0 = by[("u1-0", "FINALIZED")][0]
-    p1 = by[("u1-1", "PARTIAL")][0]
+    ms0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    first_id, resumed_id = f"u1-{ms0}", f"u1-{ms0 + 2_000_000}"
+    # the first turn finalized via the state timeout
+    assert (first_id, "FINALIZED") in by, sorted(by)
+    # the resumed turn carries a DIFFERENT id — never a second life of the
+    # finalized one
+    assert (resumed_id, "PARTIAL") in by, sorted(by)
+    fin0 = by[(first_id, "FINALIZED")][0]
+    p1 = by[(resumed_id, "PARTIAL")][0]
     assert p1["turn_start"] - fin0["turn_start"] == 2000.0
-    # no post-finalization row ever reused segment_id u1-0
-    post = [r for r in rows if r["segment_id"] == "u1-0" and r["turn_start"] != fin0["turn_start"]]
+    # no post-finalization row ever reused the finalized id
+    post = [r for r in rows if r["segment_id"] == first_id and r["turn_start"] != fin0["turn_start"]]
     assert post == []
