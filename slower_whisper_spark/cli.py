@@ -64,6 +64,19 @@ def main(argv: list[str] | None = None) -> int:
         "(repeatable; requires --manifest) — accumulates a mergeable drift "
         "baseline across runs",
     )
+    v.add_argument(
+        "--drift-col",
+        action="append",
+        default=[],
+        metavar="COL[:THRESHOLD]",
+        help="PSI drift gate for COL (a column name or SQL expression, e.g. "
+        "'length(text)') against the baseline merged from the manifest's "
+        "accumulated KLL sketches (requires --manifest; accumulate with "
+        "--sketch-col on prior runs). Evaluated as a separate post-pass — "
+        "the baseline moves every run, so folding it into the content-hashed "
+        "suite would invalidate every checkpoint each time. Default "
+        "threshold 0.25. First run (no sketches yet) warns and skips.",
+    )
     v.add_argument("--gate", action="store_true", help="exit 1 on any failure")
     v.add_argument("--violation-limit", type=int, default=20)
     v.add_argument("--master", default=None)
@@ -85,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         # without one the user would think a drift baseline is accumulating
         # when nothing is written anywhere
         p.error("--sketch-col requires --manifest (sketches persist into the checkpoint manifest)")
+    if args.cmd == "validate" and args.drift_col and not args.manifest:
+        p.error("--drift-col requires --manifest (the baseline merges from the manifest's sketches)")
 
     if args.cmd == "registry":
         return _registry_main(args)
@@ -107,6 +122,33 @@ def main(argv: list[str] | None = None) -> int:
             violation_limit=args.violation_limit,
             sketch_columns=args.sketch_col,
         )
+        # manifest-KLL drift gates: baselines merge from sketches persisted
+        # by PRIOR runs — built before run() appends this run's sketches, so
+        # the comparison is strictly history-vs-now
+        drift_rules = []
+        for spec_arg in args.drift_col:
+            col, _, th = spec_arg.partition(":")
+            from slower_whisper_spark.rules.drift import Drift, kll_baseline_from_manifest
+
+            try:
+                baseline = kll_baseline_from_manifest(runner.manifest, col)
+            except ValueError:
+                print(
+                    f"[drift] no accumulated sketches for {col!r} yet — skipped "
+                    "(run with --sketch-col first)",
+                    file=sys.stderr,
+                )
+                continue
+            drift_rules.append(
+                Drift(
+                    col,
+                    baseline,
+                    metric="psi",
+                    threshold=float(th) if th else 0.25,
+                    rule_id=f"drift_manifest({col})",
+                )
+            )
+
         psnaps = None
         if args.incremental:
             from slower_whisper_spark.sources.catalog import partition_snapshots
@@ -138,6 +180,25 @@ def main(argv: list[str] | None = None) -> int:
         if rr.result is not None and not rr.overall_passed:
             for row in rr.result.violations.limit(args.violation_limit).collect():
                 print(f"[viol] {row['rule_id']}: key={row['key']} observed={row['observed']} expected={row['expected']}", file=sys.stderr)
+        drift_failed = False
+        for rule in drift_rules:
+            verdicts, _ = rule.evaluate(
+                df,
+                key_col=args.key_col,
+                partition_col=args.partition_col,
+                violation_limit=args.violation_limit,
+            )
+            for row in verdicts.orderBy("partition").collect():
+                ok = bool(row["passed"])
+                drift_failed = drift_failed or not ok
+                print(
+                    f"[drift] {rule.rule_id} partition={row['partition']} "
+                    f"{'pass' if ok else 'FAIL'} {row['observed']} (want {row['expected']})",
+                    file=sys.stderr,
+                )
+        if args.gate and drift_failed:
+            print("[gate] manifest-KLL drift gate failed", file=sys.stderr)
+            return 1
         return 0
 
     res = suite.validate(

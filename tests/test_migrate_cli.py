@@ -116,3 +116,71 @@ def test_suite_spec_carries_spec_format(spark):
     spec = s.spec()
     assert spec["spec_format"] == 2 and spec["version"] == 7
     assert detect_version(spec) == 2
+
+
+def test_cli_manifest_kll_drift_gate(tmp_path, docs_small, spark, capsys):
+    """The full CLI drift story: --sketch-col accumulates per-partition KLL
+    sketches into the manifest; a later --drift-col run merges them into a
+    quantile baseline and PSI-gates the CURRENT table against history —
+    passing when the data is unchanged, failing (exit 1 under --gate) when
+    the distribution shifts."""
+    from slower_whisper_spark.cli import main
+
+    docs, _, _ = docs_small
+    table = str(tmp_path / "docs")
+    docs.write.mode("overwrite").partitionBy("warc_day").parquet(table)
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(
+        json.dumps(
+            {
+                "name": "drift-cli",
+                "version": 1,
+                "rules": [{"type": "not_null", "column": "url", "rule_id": "r1"}],
+            }
+        )
+    )
+    mdir = str(tmp_path / "m")
+
+    # --drift-col requires --manifest
+    with pytest.raises(SystemExit):
+        main(["validate", table, "--suite", str(suite_path), "--drift-col", "length(text)"])
+
+    # run 1: no sketches yet → drift skipped with a warning, still exit 0
+    rc = main(
+        ["validate", table, "--suite", str(suite_path), "--manifest", mdir,
+         "--sketch-col", "length(text)", "--drift-col", "length(text)"]
+    )
+    assert rc == 0
+    assert "no accumulated sketches" in capsys.readouterr().err
+
+    # run 2: same data vs run-1 baseline → drift passes on every partition
+    # (the not_null(url) suite is clean, so --gate exercises the drift gate)
+    rc = main(
+        ["validate", table, "--suite", str(suite_path), "--manifest", mdir,
+         "--drift-col", "length(text):0.25", "--gate"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert "drift_manifest(length(text))" in err
+    assert "FAIL" not in err
+
+    # shifted table: text lengths blow up → PSI breaches → report shows FAIL,
+    # gate exits 1
+    from pyspark.sql import functions as F
+
+    shifted = str(tmp_path / "docs_shifted")
+    spark.read.parquet(table).withColumn(
+        "text", F.concat(F.col("text"), F.lit("x" * 500))
+    ).write.mode("overwrite").partitionBy("warc_day").parquet(shifted)
+    rc = main(
+        ["validate", shifted, "--suite", str(suite_path), "--manifest", mdir,
+         "--drift-col", "length(text):0.25"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 0  # report mode never gates
+    assert "[drift]" in err and "FAIL" in err
+    rc = main(
+        ["validate", shifted, "--suite", str(suite_path), "--manifest", mdir,
+         "--drift-col", "length(text):0.25", "--gate"]
+    )
+    assert rc == 1
