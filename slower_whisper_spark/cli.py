@@ -72,10 +72,13 @@ def main(argv: list[str] | None = None) -> int:
         help="PSI drift gate for COL (a column name or SQL expression, e.g. "
         "'length(text)') against the baseline merged from the manifest's "
         "accumulated KLL sketches (requires --manifest; accumulate with "
-        "--sketch-col on prior runs). Evaluated as a separate post-pass — "
-        "the baseline moves every run, so folding it into the content-hashed "
-        "suite would invalidate every checkpoint each time. Default "
-        "threshold 0.25. First run (no sketches yet) warns and skips.",
+        "--sketch-col on prior runs). Evaluated BEFORE the validation run "
+        "and kept out of the content-hashed suite: the baseline moves every "
+        "run, and under --gate a drifted batch is rejected before anything "
+        "persists — otherwise its own sketches would become the next "
+        "baseline and a sustained regression would alarm exactly once. "
+        "Default threshold 0.25. First run (no sketches yet) warns and "
+        "skips.",
     )
     v.add_argument("--gate", action="store_true", help="exit 1 on any failure")
     v.add_argument("--violation-limit", type=int, default=20)
@@ -127,7 +130,18 @@ def main(argv: list[str] | None = None) -> int:
         # the comparison is strictly history-vs-now
         drift_rules = []
         for spec_arg in args.drift_col:
-            col, _, th = spec_arg.partition(":")
+            # COL[:THRESHOLD] — but COL may itself be a SQL expression
+            # containing colons ('x::double'); only treat the last segment as
+            # a threshold when it actually parses as a number
+            col, sep, th = spec_arg.rpartition(":")
+            threshold = 0.25
+            if sep:
+                try:
+                    threshold = float(th)
+                except ValueError:
+                    col = spec_arg
+            else:
+                col = spec_arg
             from slower_whisper_spark.rules.drift import Drift, kll_baseline_from_manifest
 
             try:
@@ -144,10 +158,39 @@ def main(argv: list[str] | None = None) -> int:
                     col,
                     baseline,
                     metric="psi",
-                    threshold=float(th) if th else 0.25,
+                    threshold=threshold,
                     rule_id=f"drift_manifest({col})",
                 )
             )
+
+        # the drift gate decides BEFORE the validation run persists anything:
+        # a gated-out batch must not append its own sketches, or a sustained
+        # regression alarms exactly once and the drifted distribution BECOMES
+        # the baseline on the next run (self-disarming gate). Report mode
+        # accumulates by design — it accepts the batch.
+        drift_failed = False
+        for rule in drift_rules:
+            verdicts, _ = rule.evaluate(
+                df,
+                key_col=args.key_col,
+                partition_col=args.partition_col,
+                violation_limit=args.violation_limit,
+            )
+            for row in verdicts.orderBy("partition").collect():
+                ok = bool(row["passed"])
+                drift_failed = drift_failed or not ok
+                print(
+                    f"[drift] {rule.rule_id} partition={row['partition']} "
+                    f"{'pass' if ok else 'FAIL'} {row['observed']} (want {row['expected']})",
+                    file=sys.stderr,
+                )
+        if args.gate and drift_failed:
+            print(
+                "[gate] manifest-KLL drift gate failed — batch rejected before "
+                "validation; no sketches or manifest entries were persisted",
+                file=sys.stderr,
+            )
+            return 1
 
         psnaps = None
         if args.incremental:
@@ -180,25 +223,6 @@ def main(argv: list[str] | None = None) -> int:
         if rr.result is not None and not rr.overall_passed:
             for row in rr.result.violations.limit(args.violation_limit).collect():
                 print(f"[viol] {row['rule_id']}: key={row['key']} observed={row['observed']} expected={row['expected']}", file=sys.stderr)
-        drift_failed = False
-        for rule in drift_rules:
-            verdicts, _ = rule.evaluate(
-                df,
-                key_col=args.key_col,
-                partition_col=args.partition_col,
-                violation_limit=args.violation_limit,
-            )
-            for row in verdicts.orderBy("partition").collect():
-                ok = bool(row["passed"])
-                drift_failed = drift_failed or not ok
-                print(
-                    f"[drift] {rule.rule_id} partition={row['partition']} "
-                    f"{'pass' if ok else 'FAIL'} {row['observed']} (want {row['expected']})",
-                    file=sys.stderr,
-                )
-        if args.gate and drift_failed:
-            print("[gate] manifest-KLL drift gate failed", file=sys.stderr)
-            return 1
         return 0
 
     res = suite.validate(

@@ -178,9 +178,12 @@ def kll_profile(
 
     pcol = partition_col or "__all"
     src = df if partition_col is not None else df.withColumn("__all", F.lit("ALL"))
+    # '(' marks a derived expression ("length(text)"); anything else stays a
+    # plain column lookup so names F.expr would mis-parse (hyphens, spaces)
+    # keep working
+    vcol = F.expr(column) if "(" in column else F.col(column)
     narrow = src.select(
-        # F.expr: plain column names AND derived expressions ("length(text)")
-        F.col(pcol).cast("string").alias("partition"), F.expr(column).cast("double").alias("__v")
+        F.col(pcol).cast("string").alias("partition"), vcol.cast("double").alias("__v")
     )
 
     def build(pdf):

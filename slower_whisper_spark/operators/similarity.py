@@ -478,6 +478,16 @@ def embedding_near_duplicates(
         F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
     )
     if max_bucket_size:
+        # always-visible cap notice (no job): the exact dropped count needs
+        # an extra aggregation, so it is opt-in via stats_out — but the cap
+        # being ACTIVE is never silent, and the driver-checked oracle replays
+        # the cap so its effect is correctness-visible
+        _log.info(
+            "embedding_near_duplicates: max_bucket_size=%d active — buckets "
+            "above the cap are excluded from candidate generation (pass "
+            "stats_out={} for the exact dropped count)",
+            max_bucket_size,
+        )
         if stats_out is not None:
             n_big = (
                 b.groupBy("table", "bucket")
@@ -501,8 +511,11 @@ def embedding_near_duplicates(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    b = b.hint("merge")  # identical subtrees → one reused exchange, no AQE
-    # broadcast rebuild of the whole bucket computation for the build side
+    # force sort-merge on the self-join: both sides are the identical
+    # (table, bucket)-partitioned subtree, so SMJ reuses ONE exchange and the
+    # Python-UDF bucket computation runs once — AQE's default would instead
+    # broadcast one side, recomputing that whole subtree as the build
+    b = b.hint("merge")
     cand = (
         b.alias("a")
         .join(

@@ -29,6 +29,14 @@ from slower_whisper_spark.rules.base import TableRule
 _EPS = 1e-6
 
 
+def _expr_or_col(name: str):
+    """Column reference for rule/baseline specs: strings with a '(' parse as
+    SQL expressions ('length(text)'); everything else — including names with
+    hyphens, dots or spaces that F.expr would mis-parse as operators — stays
+    a plain column lookup, preserving pre-expression behavior."""
+    return F.expr(name) if "(" in name else F.col(name)
+
+
 @dataclass
 class Baseline:
     """Checkpointed distribution snapshot for one column.
@@ -68,8 +76,8 @@ def compute_baseline(
     if kind == "hist":
         if lo is None or hi is None:
             mm = df.agg(
-                F.min(F.expr(column).cast("double")).alias("lo"),
-                F.max(F.expr(column).cast("double")).alias("hi"),
+                F.min(_expr_or_col(column).cast("double")).alias("lo"),
+                F.max(_expr_or_col(column).cast("double")).alias("hi"),
             ).first()
             lo = float(mm["lo"]) if lo is None else lo
             hi = float(mm["hi"]) if hi is None else hi
@@ -77,7 +85,7 @@ def compute_baseline(
                 hi = lo + 1.0
         rows = (
             df.select(
-                F.width_bucket(F.expr(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("b")
+                F.width_bucket(_expr_or_col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("b")
             )
             .groupBy("b")
             .count()
@@ -90,7 +98,7 @@ def compute_baseline(
         return Baseline(column=column, kind="hist", counts=counts, lo=lo, hi=hi, n_buckets=n_buckets)
 
     rows = (
-        df.groupBy(F.expr(column).cast("string").alias("c"))
+        df.groupBy(_expr_or_col(column).cast("string").alias("c"))
         .count()
         .orderBy(F.desc("count"), F.asc("c"))
         .limit(max_categories)
@@ -193,17 +201,17 @@ class Drift(TableRule):
         b = self.baseline
         if b.kind == "hist":
             return F.width_bucket(
-                F.expr(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
+                _expr_or_col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
             )
         if b.kind == "quantile":
             # equi-depth bucket = #edges strictly below the value (0..k-1);
             # a ~20-element literal-array HOF, stays in codegen
-            x = F.expr(self.column).cast("double")
+            x = _expr_or_col(self.column).cast("double")
             edges_arr = F.array(*[F.lit(float(e)) for e in b.edges])
             return F.when(x.isNull(), F.lit(-1)).otherwise(
                 F.size(F.filter(edges_arr, lambda e: x > e))
             )
-        known = F.expr(self.column).cast("string")
+        known = _expr_or_col(self.column).cast("string")
         cats = list(b.categories)
         return (
             F.when(known.isNull(), F.lit(cats.index("<NULL>") if "<NULL>" in cats else -1))
@@ -286,7 +294,7 @@ class Drift(TableRule):
         if b.kind in ("hist", "quantile"):
             bucket = self._row_bucket_expr()
         else:
-            known = F.expr(self.column).cast("string")
+            known = _expr_or_col(self.column).cast("string")
             cats = list(b.categories)
             # unseen categories collapse into one drift bucket
             bucket = (

@@ -136,6 +136,21 @@ def turn_lifecycle(
     and a replayed duplicate of a finalized turn's first event maps to the
     SAME id — the idempotent outcome an overwrite-by-id sink wants.
 
+    Late-data handling: events older than the current watermark are dropped
+    inside the function (Spark does not pre-filter stateful-op input) — so a
+    redelivered duplicate of an already-finalized turn's event is discarded
+    once the watermark has passed it, instead of re-opening the turn and
+    overwriting the correct FINALIZED row with a 1-event ghost. Duplicates
+    arriving WITHIN the watermark window can still re-open a closed turn
+    (they are indistinguishable from genuinely new data); at-least-once
+    sources should dedup upstream or key the sink on (segment_id, n_events).
+
+    State-schema note: builds before 2026-08-17 stored a 4-field tuple
+    (seq, start, last, n); this build stores (start, last, n). A stream
+    restarted from an old checkpoint fails Spark's state-schema check —
+    drain the stream (stop sources, let timeouts finalize) or start a fresh
+    checkpoint when upgrading.
+
     State is one fixed-width tuple per open turn (start, last, n); the
     pandas function sees Arrow batches (no per-row Python dispatch at the
     JVM boundary)."""
@@ -172,12 +187,16 @@ def turn_lifecycle(
             )
             return
         start, last, n = state.get if state.exists else (None, None, 0)
+        # manual late-data filter (stateful ops receive unfiltered input):
+        # a replayed event the watermark has passed must not re-open its
+        # (already finalized) turn
+        wm = state.getCurrentWatermarkMs() / 1000.0
         ts = []
         for pdf in pdfs:
             col = pdf[ts_col]
             if str(col.dtype).startswith("datetime"):
                 col = col.astype("int64") / 1e9
-            ts.extend(float(t) for t in col)
+            ts.extend(float(t) for t in col if float(t) >= wm)
         ts.sort()
         rows = []
         for t in ts:

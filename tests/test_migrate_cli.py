@@ -179,8 +179,14 @@ def test_cli_manifest_kll_drift_gate(tmp_path, docs_small, spark, capsys):
     err = capsys.readouterr().err
     assert rc == 0  # report mode never gates
     assert "[drift]" in err and "FAIL" in err
+    from slower_whisper_spark.checkpoint import CheckpointManifest
+
+    n_before = len(CheckpointManifest(mdir).load())
     rc = main(
         ["validate", shifted, "--suite", str(suite_path), "--manifest", mdir,
-         "--drift-col", "length(text):0.25", "--gate"]
+         "--drift-col", "length(text):0.25", "--sketch-col", "length(text)", "--gate"]
     )
     assert rc == 1
+    # the rejected batch persisted NOTHING — its shifted sketches must not
+    # become the next run's baseline (self-disarming-gate regression)
+    assert len(CheckpointManifest(mdir).load()) == n_before

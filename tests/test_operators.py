@@ -381,8 +381,9 @@ def test_embedding_neardup_bucket_guard(spark):
     """Scale guard: a low-entropy corpus (one giant clique of near-identical
     vectors — the expected input for a near-dup pass) must NOT send the LSH
     bucket self-join quadratic. Buckets over max_bucket_size are dropped
-    (eagerly counted + logged, mirroring minhash_lsh_candidates); cliques
-    under the cap verify exactly."""
+    (windowed count over the join keys, mirroring minhash_lsh_candidates;
+    exact dropped count opt-in via stats_out); cliques under the cap verify
+    exactly."""
     import numpy as np
     from slower_whisper_spark.operators import embedding_near_duplicates
 
@@ -398,9 +399,13 @@ def test_embedding_neardup_bucket_guard(spark):
         rows.append((i, [float(x) for x in base_b]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    stats: dict = {}
     out = embedding_near_duplicates(
-        df, threshold=0.99, n_planes=4, n_tables=4, seed=5, dim=8, max_bucket_size=200
+        df, threshold=0.99, n_planes=4, n_tables=4, seed=5, dim=8, max_bucket_size=200,
+        stats_out=stats,
     ).toPandas()
+    # opt-in drop accounting: the 600-clique over-caps its bucket in all 4 tables
+    assert stats["buckets_dropped"] == 4, stats
     # identical vectors share EVERY table's bucket, so the big clique's
     # buckets are all over-cap → dropped; the small clique's 30·29/2 pairs
     # all survive and verify at cos=1
