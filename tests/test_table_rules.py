@@ -251,3 +251,28 @@ def test_suite_unpersist_releases_storage(docs_small, spark):
     res.unpersist()
     for df in res.persisted:
         assert df.storageLevel.useMemory is False and df.storageLevel.useDisk is False
+
+
+def test_drift_handles_nonidentifier_and_expression_columns(spark):
+    """Column-reference regression: names F.expr would mis-parse (hyphens →
+    subtraction) must stay plain column lookups; strings with '(' are SQL
+    expressions. Both paths bucket and score correctly."""
+    from slower_whisper_spark.rules.drift import Baseline, Drift, compute_baseline
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i % 10), "p") for i in range(400)],
+        ["key", "content-length", "part"],
+    )
+    # hyphenated plain column (would parse as `content - length` under
+    # F.expr): compute a baseline and self-check drift ≈ 0
+    base = compute_baseline(df, "content-length", kind="hist", n_buckets=5)
+    rule = Drift("content-length", base, metric="psi", threshold=0.1, min_rows=10)
+    verdicts, _ = rule.evaluate(df, key_col="key", partition_col="part", violation_limit=10)
+    rows = verdicts.collect()
+    assert len(rows) == 1 and rows[0]["passed"], rows
+
+    # expression column ('(' present → F.expr path)
+    base2 = compute_baseline(df, "abs(`content-length`)", kind="hist", n_buckets=5)
+    rule2 = Drift("abs(`content-length`)", base2, metric="psi", threshold=0.1, min_rows=10)
+    v2, _ = rule2.evaluate(df, key_col="key", partition_col="part", violation_limit=10)
+    assert v2.collect()[0]["passed"]
