@@ -357,6 +357,68 @@ def train_ivf_centroids(
     return C
 
 
+# Fixed-point scale for exact-mode kmeans partials: normalized components
+# are in [-1, 1], so quantized values fit 2^40 and int64 partial sums stay
+# exact up to ~2^23 (≈8M) rows per cell per batch-tree — far beyond any
+# per-cell test corpus. Drop to 2**32 if a cell can exceed that.
+_KMEANS_FXP_SCALE = float(2**40)
+
+
+def _kmeans_exact_partial(X: np.ndarray, C: np.ndarray):
+    """One batch's mergeable partial in exact fixed-point arithmetic:
+    (cells present, int64 counts, int64 per-dim quantized sums). Because
+    int64 addition is associative, merging partials — in ANY batching or
+    order — yields bit-identical sums to a single-pass computation, making
+    the trained centroids a pure function of the vector multiset (the
+    deterministic-KLL trick applied to kmeans state)."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(X @ C.T, axis=1)
+    Q = np.round(X * _KMEANS_FXP_SCALE).astype(np.int64)
+    cells, inv = np.unique(assign, return_inverse=True)
+    sums = np.zeros((len(cells), X.shape[1]), dtype=np.int64)
+    np.add.at(sums, inv, Q)
+    counts = np.bincount(inv, minlength=len(cells)).astype(np.int64)
+    return cells, counts, sums
+
+
+def _kmeans_exact_update(
+    sums: np.ndarray, counts: np.ndarray, d: int, n_centroids: int, seed: int
+) -> np.ndarray:
+    """Centroid update from merged exact partials: row-normalized mean
+    (scale cancels in the normalization), empty cells re-seeded
+    deterministically."""
+    reseed = _ivf_centroids(d, n_centroids, seed + 1)
+    C = np.empty((n_centroids, d), dtype=float)
+    for j in range(n_centroids):
+        if counts[j]:
+            s = sums[j].astype(np.float64)
+            C[j] = s / max(np.linalg.norm(s), 1e-12)
+        else:
+            C[j] = reseed[j]
+    return C
+
+
+def train_ivf_centroids_exact_local(
+    X: np.ndarray, *, n_centroids: int = 16, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Single-process twin of ``train_ivf_centroids_distributed(exact=True)``
+    over an in-memory matrix: same seeded init, same fixed-point partial
+    math, same update — bit-identical centroids (asserted in tests). This is
+    the oracle-replay path: a DuckDB-side checker fetches the same vectors
+    and derives the exact centroid literals the cluster job trains."""
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    C = _ivf_centroids(d, n_centroids, seed)
+    for _ in range(n_iter):
+        cells, counts_p, sums_p = _kmeans_exact_partial(X, C)
+        sums = np.zeros((n_centroids, d), dtype=np.int64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        sums[cells] += sums_p
+        counts[cells] += counts_p
+        C = _kmeans_exact_update(sums, counts, d, n_centroids, seed)
+    return C
+
+
 def train_ivf_centroids_distributed(
     df: DataFrame,
     *,
@@ -365,6 +427,7 @@ def train_ivf_centroids_distributed(
     n_iter: int = 10,
     seed: int = 42,
     dim: int | None = None,
+    exact: bool = False,
 ) -> np.ndarray:
     """Spherical-kmeans IVF centroids with NO driver-side data collection —
     the cluster-scale twin of ``train_ivf_centroids`` (which stays the
@@ -385,6 +448,16 @@ def train_ivf_centroids_distributed(
     below centroid-movement scale and the final assignment argmax is
     robust to it at test tolerance).
 
+    ``exact=True`` switches the partials to fixed-point int64 sums
+    (``_kmeans_exact_partial``): integer addition is associative, so the
+    merged sums — and therefore the trained centroids — are bit-identical
+    regardless of batch boundaries, partition count, or merge order: a pure
+    function of the vector multiset. That is what lets a local single-pass
+    replay (``train_ivf_centroids_exact_local``) reproduce the cluster-
+    trained centroids exactly for oracle checking. Float mode (default)
+    keeps full precision for production training, where 1e-16 batch-order
+    wobble is irrelevant.
+
     Reference analog: the trained-vs-seeded routing recall contract of
     ``train_ivf_centroids`` (same assertion runs against both paths)."""
     d = dim or _vec_dim(df, vec_col, None)
@@ -393,21 +466,25 @@ def train_ivf_centroids_distributed(
 
     import pandas as pd
 
-    out_schema = "cell int, n long, s array<double>"
+    sum_t = "array<long>" if exact else "array<double>"
+    out_schema = f"cell int, n long, s {sum_t}"
     for _ in range(n_iter):
         Cb = C.copy()
 
-        def partials(batches, _C=Cb):
+        def partials(batches, _C=Cb, _exact=exact):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.array(pdf["v"].tolist(), dtype=np.float64)
-                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-                assign = np.argmax(X @ _C.T, axis=1)
-                cells, inv = np.unique(assign, return_inverse=True)
-                sums = np.zeros((len(cells), X.shape[1]))
-                np.add.at(sums, inv, X)
-                counts = np.bincount(inv, minlength=len(cells))
+                if _exact:
+                    cells, counts, sums = _kmeans_exact_partial(X, _C)
+                else:
+                    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                    assign = np.argmax(X @ _C.T, axis=1)
+                    cells, inv = np.unique(assign, return_inverse=True)
+                    sums = np.zeros((len(cells), X.shape[1]))
+                    np.add.at(sums, inv, X)
+                    counts = np.bincount(inv, minlength=len(cells))
                 yield pd.DataFrame(
                     {
                         "cell": cells.astype("int32"),
@@ -417,6 +494,14 @@ def train_ivf_centroids_distributed(
                 )
 
         rows = vecs.mapInPandas(partials, schema=out_schema).collect()
+        if exact:
+            sums = np.zeros((n_centroids, d), dtype=np.int64)
+            counts = np.zeros(n_centroids, dtype=np.int64)
+            for r in rows:  # int64 addition: order-independent
+                sums[r["cell"]] += np.asarray(r["s"], dtype=np.int64)
+                counts[r["cell"]] += r["n"]
+            C = _kmeans_exact_update(sums, counts, d, n_centroids, seed)
+            continue
         sums = np.zeros((n_centroids, d))
         counts = np.zeros(n_centroids)
         for r in sorted(rows, key=lambda r: r["cell"]):  # deterministic merge order

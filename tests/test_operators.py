@@ -345,6 +345,33 @@ def test_trained_ivf_centroids_beat_seeded(spark):
     assert r_dist >= r_trained - 0.05, (r_dist, r_trained)
 
 
+def test_distributed_kmeans_exact_mode_bit_identical(spark):
+    """exact=True makes the trained centroids a pure function of the vector
+    multiset: the fixed-point int64 partial sums are associative, so the
+    cluster job's result must be BIT-IDENTICAL to the single-process local
+    replay regardless of partitioning — the property the
+    ivf_train_distributed oracle row rests on."""
+    import numpy as np
+
+    from slower_whisper_spark.operators.similarity import (
+        train_ivf_centroids_distributed,
+        train_ivf_centroids_exact_local,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(600, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    local = train_ivf_centroids_exact_local(X, n_centroids=8, n_iter=4, seed=3)
+    for n_parts in (1, 7):  # different batch boundaries must not matter
+        dist = train_ivf_centroids_distributed(
+            emb.repartition(n_parts), n_centroids=8, n_iter=4, seed=3, dim=16, exact=True
+        )
+        assert np.array_equal(dist, local), np.abs(dist - local).max()
+
+
 def test_jaccard_prune_stats_and_persisted(spark):
     """'No silent caps': with max_df active the result carries
     stop_shingle_stats reporting how many shingles pruning removed (and a
