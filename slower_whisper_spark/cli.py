@@ -131,15 +131,24 @@ def main(argv: list[str] | None = None) -> int:
         drift_rules = []
         for spec_arg in args.drift_col:
             # COL[:THRESHOLD] — but COL may itself be a SQL expression
-            # containing colons ('x::double'); only treat the last segment as
-            # a threshold when it actually parses as a number
+            # containing colons ('x::double') or a name that legitimately
+            # ends in ':<number>' ('m:2'). Treat the last segment as a
+            # threshold only when it parses as a number AND the prefix is a
+            # plausible column ref: non-empty, and for plain names present
+            # in the table schema (expressions — anything non-identifier —
+            # are taken on faith). Otherwise the whole arg is the column and
+            # resolution errors surface from Spark with the full name.
             col, sep, th = spec_arg.rpartition(":")
             threshold = 0.25
-            if sep:
+            if sep and col:
                 try:
                     threshold = float(th)
                 except ValueError:
                     col = spec_arg
+                else:
+                    is_plain_name = col.replace("_", "a").isalnum()
+                    if is_plain_name and col not in df.columns:
+                        col, threshold = spec_arg, 0.25
             else:
                 col = spec_arg
             from slower_whisper_spark.rules.drift import Drift, kll_baseline_from_manifest

@@ -529,6 +529,7 @@ def embedding_near_duplicates(
     max_bucket_size: int | None = 200,
     persisted: list[DataFrame] | None = None,
     stats_out: dict | None = None,
+    warn_on_drop: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos ≥ threshold) via LSH candidate
     buckets + exact verification. As in ``lsh_bucketed_topk``, the
@@ -547,10 +548,16 @@ def embedding_near_duplicates(
     pair through their OTHER n_tables-1 tables; pass ``None`` for the
     unguarded exact-candidate path at test scale.
 
-    ``stats_out``: pass a dict to ALSO count the dropped buckets eagerly
-    (one extra bounded job) — filled with ``{"buckets_dropped": n}`` and
-    logged, for callers that must surface cap effects; the default path adds
-    no extra job.
+    ``warn_on_drop`` (default True): when the cap is active, an eager probe
+    counts the buckets the cap will drop and logs a WARNING if any — recall
+    loss on near-identical-vector corpora must never be silent (ADVICE r4).
+    The probe is one bounded extra job whose shuffle carries only DISTINCT
+    (table, bucket) partials (map-side combine), far below the join itself;
+    100-TB callers that track drops through ``stats_out`` dashboards can
+    pass ``warn_on_drop=False`` to keep the default path job-free.
+
+    ``stats_out``: pass a dict to capture the probe's exact count —
+    filled with ``{"buckets_dropped": n}`` (implies the probe runs).
 
     ``persisted``: accepted for interface stability; the current plan
     persists nothing, so the list stays empty."""
@@ -569,18 +576,18 @@ def embedding_near_duplicates(
         # the cap so its effect is correctness-visible
         _log.info(
             "embedding_near_duplicates: max_bucket_size=%d active — buckets "
-            "above the cap are excluded from candidate generation (pass "
-            "stats_out={} for the exact dropped count)",
+            "above the cap are excluded from candidate generation",
             max_bucket_size,
         )
-        if stats_out is not None:
+        if warn_on_drop or stats_out is not None:
             n_big = (
                 b.groupBy("table", "bucket")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > max_bucket_size)
                 .count()
             )
-            stats_out["buckets_dropped"] = int(n_big)
+            if stats_out is not None:
+                stats_out["buckets_dropped"] = int(n_big)
             if n_big:
                 _log.warning(
                     "embedding_near_duplicates: dropping %d bucket(s) larger "

@@ -71,11 +71,16 @@ class SuiteRegistry:
         lock = self._read_lock()
         existing = lock.get(suite.name, {}).get(str(suite.version))
         if existing and existing["hash"] != h and not overwrite:
-            raise IntegrityError(
-                f"{suite.name}@v{suite.version} already locked with a different "
-                f"hash ({existing['hash'][:12]} != {h[:12]}); bump the version "
-                "or pass overwrite=True"
-            )
+            # legacy-lock migration: entries published before spec_hash
+            # (which excludes the spec_format marker) hold canonical_hash
+            # values. The same semantic content must not read as a new spec
+            # — match the legacy hash and lazily rewrite the entry below.
+            if existing["hash"] != canonical_hash(spec):
+                raise IntegrityError(
+                    f"{suite.name}@v{suite.version} already locked with a different "
+                    f"hash ({existing['hash'][:12]} != {h[:12]}); bump the version "
+                    "or pass overwrite=True"
+                )
         path = self._spec_path(suite.name, suite.version)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -130,8 +135,18 @@ class SuiteRegistry:
                 raise IntegrityError(f"{name}@v{version}: spec file missing ({path})")
             return False
         with open(path) as f:
-            actual = spec_hash(json.load(f))
+            stored = json.load(f)
+        actual = spec_hash(stored)
         ok = actual == entry["hash"]
+        if not ok and entry["hash"] == canonical_hash(stored):
+            # one-time lazy migration: the lock predates spec_hash (it holds
+            # the legacy canonical_hash that included spec_format). Same
+            # semantic content ⇒ rewrite the entry in place so 'format bumps
+            # never invalidate lockfiles' holds across the hashing change.
+            lock = self._read_lock()
+            lock[name][str(version)]["hash"] = actual
+            self._write_lock(lock)
+            ok = True
         if not ok and strict:
             raise IntegrityError(
                 f"{name}@v{version}: spec hash {actual[:12]} != locked {entry['hash'][:12]}"
@@ -145,7 +160,12 @@ class SuiteRegistry:
         entry = self._read_lock().get(suite.name, {}).get(str(suite.version))
         if entry is None:
             return True
-        return spec_hash(suite.spec()) != entry["hash"]
+        spec = suite.spec()
+        if spec_hash(spec) == entry["hash"]:
+            return False
+        # legacy lock (pre-spec_hash): same content under the old hashing
+        # is not a change (read-only here; verify()/save() do the rewrite)
+        return canonical_hash(spec) != entry["hash"]
 
     # ---------------- diff ---------------- #
     def diff(self, name: str, v_old: int, v_new: int) -> dict[str, list[str]]:

@@ -37,20 +37,26 @@ def get_spark(
     # run. (Reading SparkConf() pre-session does NOT work: before the
     # gateway attaches it is an empty Python-side dict.)
     cores = os.cpu_count() or 8
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not under_submit:
         if master and master.startswith("local["):
             inner = master[len("local[") : -1]
             n = cores if inner == "*" else int(inner)
         else:
             n = cores
         shuffle_partitions = max(8, 2 * n)
+    # Under spark-submit with no explicit override, leave
+    # spark.sql.shuffle.partitions to the submit line / cluster conf: sizing
+    # it from the DRIVER's cpu_count would silently cap shuffle parallelism
+    # on a large cluster, and builder.config would override any --conf the
+    # operator passed (AQE coalescing then right-sizes from the conf value).
 
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

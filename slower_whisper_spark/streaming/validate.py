@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from slower_whisper_spark.suite import ConstraintSuite
@@ -142,8 +142,13 @@ def turn_lifecycle(
     once the watermark has passed it, instead of re-opening the turn and
     overwriting the correct FINALIZED row with a 1-event ghost. Duplicates
     arriving WITHIN the watermark window can still re-open a closed turn
-    (they are indistinguishable from genuinely new data); at-least-once
-    sources should dedup upstream or key the sink on (segment_id, n_events).
+    (they are indistinguishable from genuinely new data) and later re-emit
+    its segment_id with ``n_events`` restarted at 1. The output CONTRACT
+    covers this: a redelivery ghost replays a subset of the turn's events,
+    so its n_events is ≤ the true row's — sinks must merge with "keep
+    max(n_events) per segment_id, FINALIZED over PARTIAL on ties"
+    (``merge_turn_updates`` implements exactly that for batch sinks /
+    foreachBatch); upstream dedup remains the clean fix.
 
     State-schema note: builds before 2026-08-17 stored a 4-field tuple
     (seq, start, last, n); this build stores (start, last, n). A stream
@@ -238,6 +243,28 @@ def turn_lifecycle(
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+def merge_turn_updates(df: DataFrame) -> DataFrame:
+    """The recommended sink-side merge rule for ``turn_lifecycle`` output
+    under at-least-once delivery: keep, per segment_id, the row with the
+    highest ``n_events`` (FINALIZED over PARTIAL, then latest ``turn_end``,
+    on ties). A within-watermark redelivery ghost re-emits an already-
+    finalized segment_id with n_events restarted at 1 — and since a ghost
+    replays a SUBSET of the turn's events, its count can never exceed the
+    true row's, so max-merge always restores the correct FINALIZED row.
+    Apply inside ``foreachBatch`` against the accumulated sink table (or
+    over the raw append log at read time)."""
+    w = Window.partitionBy("segment_id").orderBy(
+        F.desc("n_events"),
+        F.asc("status"),  # 'FINALIZED' < 'PARTIAL' lexically → wins ties
+        F.desc("turn_end"),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

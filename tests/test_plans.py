@@ -224,3 +224,26 @@ def test_ivf_partitioned_corpus_prunes_probed_cells(spark, tmp_path_factory):
     assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
     # and it is a partition filter, not a post-scan data filter
     assert "cell" not in "".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)), plan[:2000]
+
+
+def test_no_rdd_api_in_package_source():
+    """The engine is DataFrame-native: no ``.rdd`` access anywhere in the
+    package (VERDICT r4 next-steps #7 — ``.rdd.getNumPartitions()`` probes
+    materialize plan→RDD analysis driver-side; the partition-fanout guard
+    now uses the FileIndex's cached inputFiles listing instead)."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "slower_whisper_spark")
+    hits = []
+    for root, _dirs, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            for i, line in enumerate(open(path), 1):
+                if re.search(r"\.rdd\b", line):
+                    hits.append(f"{path}:{i}: {line.strip()}")
+    assert not hits, hits

@@ -72,6 +72,39 @@ def test_tampered_spec_fails_strict_verify(tmp_path):
         reg.load("web", 1)  # load is strict by default
 
 
+def test_legacy_canonical_hash_lock_migrates_lazily(tmp_path):
+    """Locks published before spec_hash (when hashes included spec_format)
+    must keep verifying: verify() matches the legacy canonical_hash and
+    rewrites the entry in place; has_changed() reports False; save() without
+    overwrite does not raise (ADVICE r4: the hashing switch must not be a
+    one-time break of the 'format bumps never invalidate lockfiles'
+    contract)."""
+    from slower_whisper_spark.functions.hashing import canonical_hash, spec_hash
+
+    reg = SuiteRegistry(str(tmp_path / "reg"))
+    suite = _v1()
+    path = reg.save(suite)
+    spec = json.load(open(path))
+
+    # simulate a pre-migration lockfile: entry holds the legacy hash
+    lock = json.load(open(reg._lock_path))
+    lock["web"]["1"]["hash"] = canonical_hash(spec)
+    json.dump(lock, open(reg._lock_path, "w"))
+    assert canonical_hash(spec) != spec_hash(spec)  # the hashes really differ
+
+    assert reg.has_changed(suite) is False  # read-only path: no false positive
+    assert reg.verify("web", 1) is True  # migrates...
+    lock = json.load(open(reg._lock_path))
+    assert lock["web"]["1"]["hash"] == spec_hash(spec)  # ...and rewrote the entry
+    reg.save(suite)  # republish of the unchanged suite needs no overwrite
+    reg.load("web", 1)  # strict load stays green after migration
+
+    # a genuinely different spec still fails immutability
+    mutated = ConstraintSuite("web", [NotNull("url")], version=1)
+    with pytest.raises(IntegrityError):
+        reg.save(mutated)
+
+
 def test_diff_versions(tmp_path):
     reg = SuiteRegistry(str(tmp_path / "reg"))
     reg.save(_v1())

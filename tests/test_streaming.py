@@ -242,3 +242,32 @@ def test_turn_lifecycle_no_id_reuse_after_timeout(tmp_path, spark):
     # no post-finalization row ever reused the finalized id
     post = [r for r in rows if r["segment_id"] == first_id and r["turn_start"] != fin0["turn_start"]]
     assert post == []
+
+
+def test_merge_turn_updates_restores_finalized_over_ghost(spark):
+    """The documented at-least-once sink merge rule: a within-watermark
+    redelivery ghost (same segment_id, n_events restarted at 1) must lose to
+    the true FINALIZED row under keep-max-per-segment_id; PARTIAL loses to
+    FINALIZED on equal counts."""
+    from slower_whisper_spark.streaming.validate import merge_turn_updates
+
+    rows = [
+        # true row, then the ghost re-emission of the same segment
+        ("u1", "u1-1000", "FINALIZED", 1.0, 9.0, 5),
+        ("u1", "u1-1000", "FINALIZED", 1.0, 2.0, 1),
+        # PARTIAL vs FINALIZED at the same count: FINALIZED wins
+        ("u2", "u2-5000", "PARTIAL", 5.0, 6.0, 2),
+        ("u2", "u2-5000", "FINALIZED", 5.0, 6.0, 2),
+        # untouched singleton passes through
+        ("u3", "u3-7000", "PARTIAL", 7.0, 7.5, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, segment_id string, status string, "
+        "turn_start double, turn_end double, n_events long",
+    )
+    got = {r["segment_id"]: r for r in merge_turn_updates(df).collect()}
+    assert len(got) == 3
+    assert got["u1-1000"]["n_events"] == 5 and got["u1-1000"]["turn_end"] == 9.0
+    assert got["u2-5000"]["status"] == "FINALIZED"
+    assert got["u3-7000"]["n_events"] == 3
