@@ -140,10 +140,14 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     chunks concatenate to one zlib stream; scanlines un-filter per the PNG
     spec (filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).
 
-    Supports the dominant web case — 8-bit depth, non-interlaced, gray /
-    gray+alpha / RGB / RGBA (color types 0/4/2/6). Palette, 16-bit and
-    Adam7-interlaced images return None (caller falls back to the hash
-    feature, documented). Returns (height, width, channels) uint8.
+    Supports the dominant web cases — 8-bit depth, non-interlaced: gray /
+    gray+alpha / RGB / RGBA (color types 0/4/2/6) plus PALETTE (color type
+    3, the most common remaining web case): the index plane un-filters as a
+    1-byte-per-pixel image and the PLTE table expands it with one numpy
+    ``take`` to RGB (tRNS transparency is ignored — indices expand to their
+    opaque RGB entries). 16-bit and Adam7-interlaced images return None
+    (caller falls back to the hash feature, documented). Returns
+    (height, width, channels) uint8.
 
     Row un-filtering dispatches per filter type on vectorization: None/Up
     are whole-row numpy ops; Sub is a per-channel CUMSUM mod 256 (the
@@ -158,20 +162,27 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     try:
         w, h = struct.unpack(">II", b[16:24])
         depth, ctype, interlace = b[24], b[25], b[28]
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        # color type 3 (palette): scanlines carry 1-byte indices; the
+        # filter bpp for palette images is 1 per spec, so the un-filter
+        # loop below works unchanged on the index plane
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
         if depth != 8 or interlace != 0 or channels is None or not w or not h:
             return None
-        # chunk walk: concatenate every IDAT payload
-        idat, i = [], 8
+        # chunk walk: concatenate every IDAT payload (+ grab PLTE)
+        idat, plte, i = [], None, 8
         while i + 8 <= len(b):
             clen = struct.unpack(">I", b[i : i + 4])[0]
             cid = b[i + 4 : i + 8]
             if cid == b"IDAT":
                 idat.append(b[i + 8 : i + 8 + clen])
+            elif cid == b"PLTE":
+                plte = b[i + 8 : i + 8 + clen]
             if cid == b"IEND":
                 break
             i += 12 + clen  # len + type + data + crc
         raw = zlib.decompress(b"".join(idat))
+        if ctype == 3 and (plte is None or len(plte) % 3 or not len(plte)):
+            return None
     except (struct.error, IndexError, zlib.error):
         return None
     stride = w * channels
@@ -217,6 +228,12 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
         else:
             return None
         out[y] = cur
+    if ctype == 3:
+        # palette expansion: one vectorized take on the un-filtered index
+        # plane; out-of-range indices clamp (decoders commonly tolerate)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = np.minimum(out.reshape(h, w), len(pal) - 1)
+        return pal[idx]  # (h, w, 3) uint8
     return out.reshape(h, w, channels)
 
 

@@ -40,10 +40,10 @@ def cosine(a, b) -> F.Column:
     return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
 
 
-def _pair_cos(a, b) -> F.Column:
+def _pair_cos(a, b, compute_dtype: str = "float64") -> F.Column:
     from slower_whisper_spark.functions.vectorized import make_cosine_pair
 
-    return make_cosine_pair()(a, b)
+    return make_cosine_pair(compute_dtype)(a, b)
 
 
 def cosine_topk(
@@ -119,9 +119,15 @@ def lsh_bucketed_topk(
     seed: int = 42,
     exclude_self: bool = True,
     dim: int | None = None,
+    rerank_dtype: str = "float64",
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables, exact
-    cosine re-rank on candidates only. Buckets come from one numpy-matmul
+    cosine re-rank on candidates only.
+
+    ``rerank_dtype="float32"`` runs the einsum kernel in single precision —
+    half the bytes through the memory-bandwidth-bound re-rank (the measured
+    limiter on wide candidate sets), at ~1e-7 relative score perturbation.
+    Keep float64 wherever the top-k set is oracle-compared. Buckets come from one numpy-matmul
     Arrow UDF (all tables at once); the re-rank is the einsum kernel
     (``make_cosine_pair``) — Arrow-batched, never per-row Python.
 
@@ -158,7 +164,11 @@ def lsh_bucketed_topk(
     scored = (
         cvec.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", _pair_cos(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cos(F.col("__qv"), F.col("__cv"), rerank_dtype).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

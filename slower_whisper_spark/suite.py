@@ -63,6 +63,38 @@ class SuiteResult:
             except Exception:  # pragma: no cover - session already stopped
                 pass
 
+    def materialize(self, parallel: bool = True) -> dict[str, Any]:
+        """Run all three result actions and return
+        ``{"verdicts": rows, "n_violations": int, "stats": rows | None}``.
+
+        ``parallel=True`` submits them from separate threads so Spark
+        schedules the three jobs concurrently: the verdict union's
+        independent legs (pass-1 agg, unique, hash-invariant), the pass-2
+        violation scan, and the stats projection fill each other's
+        scheduling gaps and straggler-wave idle slots instead of running as
+        three serialized driver barriers. Shared subtrees are safe: the
+        pass-1 ``wide`` row is cached and Spark's block store computes a
+        cached partition once, blocking concurrent requesters on the same
+        block. On a driver with SparkContext FIFO scheduling the jobs still
+        interleave at stage granularity — exactly what a long-running 100-TB
+        driver does with async actions."""
+        if not parallel:
+            verd = self.verdicts.collect()
+            n_viol = self.violations.count()
+            stats = self.stats.collect() if self.stats is not None else None
+            return {"verdicts": verd, "n_violations": n_viol, "stats": stats}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fv = ex.submit(self.verdicts.collect)
+            fn = ex.submit(self.violations.count)
+            fs = ex.submit(self.stats.collect) if self.stats is not None else None
+            return {
+                "verdicts": fv.result(),
+                "n_violations": fn.result(),
+                "stats": fs.result() if fs is not None else None,
+            }
+
     def partition_status(self) -> DataFrame:
         """Per-partition rollup with the reference's status vocabulary:
         success (no rule failed) / partial (some rules failed)
@@ -133,8 +165,23 @@ class ConstraintSuite:
         always_collect_violations: bool = False,
         stats_columns: list[str] | None = None,
         global_df: DataFrame | None = None,
+        pass2_prune: bool = True,
     ) -> SuiteResult:
         """Evaluate the suite.
+
+        ``pass2_prune`` (default True): collect pass-1's failing-partition
+        set eagerly and restrict the pass-2 violation scan to it — on a
+        hive/Iceberg layout that isin literal becomes FILE-level partition
+        pruning, so a mostly-clean 10^12-row table pays pass 2 only for its
+        bad partitions. The collect is also validate()'s only blocking
+        action: with ``pass2_prune=False`` the method returns a fully LAZY
+        result (pass 2 scans every partition of ``df``; identical rows —
+        the two-level limit bounds output regardless), which lets
+        ``SuiteResult.materialize(parallel=True)`` overlap pass 1, the
+        table-rule jobs, and pass 2 as concurrent jobs. Choose by violation
+        geometry: sparse violations → prune (skip the data); violations
+        everywhere (dense-failure benches, ingest quarantines) → False
+        (skip the barrier).
 
         ``stats_columns``: fold a column-stats profile into the pass-1 scan
         (count/null-rate/min/max/mean/stddev/quantiles/HLL) — the result
@@ -229,9 +276,15 @@ class ConstraintSuite:
             any_fail = reduce(
                 lambda a, b: a | b, [F.col(f"viol__{rid}") > 0 for rid in counted_ids]
             )
-            failing_parts = [r["partition"] for r in wide.filter(any_fail).select("partition").collect()]
-            n_parts_total = wide.count()
-            if failing_parts or always_collect_violations:
+            if pass2_prune and not always_collect_violations:
+                # ONE collect decides the prune AND yields the partition
+                # total (a second wide.count() job would be pure overhead)
+                flags = wide.select("partition", any_fail.alias("__fail")).collect()
+                failing_parts = [r["partition"] for r in flags if r["__fail"]]
+                n_parts_total = len(flags)
+            else:
+                failing_parts, n_parts_total = None, None
+            if failing_parts or failing_parts is None or always_collect_violations:
                 scan = df
                 if (
                     partition_col is not None

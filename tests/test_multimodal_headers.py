@@ -196,6 +196,61 @@ def test_png_pixel_decode_all_filters_roundtrip():
     assert (decode_png_pixels(encode_png(gray, 2)) == gray).all()
 
 
+def test_png_palette_decode_expands_plte():
+    """Color type 3: the index plane un-filters at bpp=1 and PLTE expands to
+    RGB byte-exactly, for every filter type; missing PLTE → None."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.randint(0, 17, size=(9, 14)).astype(np.uint8)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def encode_pal(filter_type, include_plte=True):
+        h, w = idx.shape
+        raw = bytearray()
+        prev = np.zeros(w, dtype=np.int32)
+        for y in range(h):
+            line = idx[y].astype(np.int32)
+            raw.append(filter_type)
+            for i in range(w):
+                a = int(line[i - 1]) if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if (i >= 1 and y > 0) else 0
+                if filter_type == 0:
+                    v = line[i]
+                elif filter_type == 1:
+                    v = line[i] - a
+                elif filter_type == 2:
+                    v = line[i] - b
+                elif filter_type == 3:
+                    v = line[i] - ((a + b) >> 1)
+                else:
+                    v = line[i] - _paeth(a, b if y > 0 else 0, c)
+                raw.append(int(v) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        body = chunk(b"IHDR", ihdr)
+        if include_plte:
+            body += chunk(b"PLTE", pal.tobytes())
+        body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    expected = pal[idx]
+    for ft in range(5):
+        got = decode_png_pixels(encode_pal(ft))
+        assert got is not None and got.shape == (9, 14, 3), ft
+        assert (got == expected).all(), f"palette filter {ft} mismatch"
+    assert decode_png_pixels(encode_pal(0, include_plte=False)) is None
+
+
 def test_png_real_features_exact_channel_means(spark):
     """decode_media(decoder='headers') must return REAL per-band means/stds
     for PNG now (not the hash fallback): build a known RGB bitmap, assert
