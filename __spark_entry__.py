@@ -1568,6 +1568,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_ingest_violations"] = q_json_ingest_violations
 
+    def q_turn_lifecycle_batch(spark, sf):
+        """Batch twin of the stateful-streaming turn lifecycle (§2.9):
+        gaps-and-islands sessionization emitting the FINALIZED rows the
+        streaming operator converges to, with IDENTICAL event-time-derived
+        segment ids ({key}-{floor(start_ms)}, integer unix_micros math).
+        tests/test_streaming.py asserts streaming==batch parity on the same
+        input, so this driver row transitively pins the streaming operator
+        — previously its only evidence was pytest-local
+        (streaming/validate.py turn_lifecycle_batch)."""
+        from slower_whisper_spark.streaming.validate import turn_lifecycle_batch
+
+        ev = _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("uid"), "ts"
+        )
+        out = turn_lifecycle_batch(ev, key_col="uid", ts_col="ts", gap_seconds=1800.0)
+        return (
+            out.select(
+                "key",
+                "segment_id",
+                "status",
+                F.floor(F.col("turn_start") * 1000).cast("long").alias("turn_start_ms"),
+                F.floor(F.col("turn_end") * 1000).cast("long").alias("turn_end_ms"),
+                "n_events",
+            )
+            .orderBy("key", "segment_id")
+        )
+
+    q["turn_lifecycle_batch"] = q_turn_lifecycle_batch
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -1580,10 +1609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     conditional_verdicts, median_by_group, categorical_distribution,
     #     unique_check, dup_key_counts, cross_field_join, top_customers,
     #     shipping_priority — all inside the first 50 again in r5.
-    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 12
-    #     parked because ann_ivf_partitioned + ivf_train_distributed joined
-    #     the window): the set below. r6 must swap THESE back in and park a
-    #     different green-in-r5 set.
+    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 13
+    #     parked because ann_ivf_partitioned + ivf_train_distributed +
+    #     turn_lifecycle_batch joined the window): the set below. r6 must
+    #     swap THESE back in and park a different green-in-r5 set.
     _TAIL_R5 = [
         "hash_invariant",
         "sessionize",
@@ -1597,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms",
         "row_number_topn",
         "asof_join",
+        "tfidf_top_term",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -2313,6 +2343,35 @@ def oracle_sql() -> dict[str, str]:
                     WHEN etype = 'error' THEN value <= 190
                     ELSE FALSE END)
             ) ORDER BY event_id, rule_id
+        """,
+        "turn_lifecycle_batch": """
+            WITH e AS (
+              SELECT user_id::VARCHAR AS key, epoch(ts) AS tsec,
+                     epoch_us(ts) AS tus
+              FROM events
+            ),
+            lagd AS (
+              SELECT key, tsec, tus,
+                     lag(tsec) OVER (PARTITION BY key ORDER BY tsec) AS prev
+              FROM e
+            ),
+            flags AS (
+              SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800.0
+                             THEN 1 ELSE 0 END AS nt
+              FROM lagd
+            ),
+            turns AS (
+              SELECT *, sum(nt) OVER (PARTITION BY key ORDER BY tsec
+                         ROWS UNBOUNDED PRECEDING) AS turn
+              FROM flags
+            )
+            SELECT key,
+                   key || '-' || CAST(min(tus) // 1000 AS VARCHAR) AS segment_id,
+                   'FINALIZED' AS status,
+                   min(tus) // 1000 AS turn_start_ms,
+                   max(tus) // 1000 AS turn_end_ms,
+                   count(*) AS n_events
+            FROM turns GROUP BY key, turn ORDER BY key, segment_id
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_neardup": _JACCARD_ORACLE,

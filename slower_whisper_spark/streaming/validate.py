@@ -15,6 +15,7 @@ streaming carries over exactly the concepts SURVEY §2.9 maps:
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -173,7 +174,11 @@ def turn_lifecycle(
         k = key[0]
 
         def seg_id(start):
-            return f"{k}-{int(round(start * 1000))}"
+            # FLOOR of the ms value (not round): floor is the one operation
+            # Python, Spark SQL (unix_micros DIV 1000) and DuckDB
+            # (epoch_us // 1000) compute identically — the batch twin and
+            # its oracle must derive bit-equal ids from the same timestamps
+            return f"{k}-{int(math.floor(start * 1000))}"
 
         if state.hasTimedOut:
             start, last, n = state.get
@@ -242,6 +247,71 @@ def turn_lifecycle(
         .groupBy("key")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def turn_lifecycle_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    gap_seconds: float = 30.0,
+) -> DataFrame:
+    """Batch twin of ``turn_lifecycle``: the FINALIZED rows the streaming
+    operator converges to once every watermark passes, computed as a plain
+    gaps-and-islands query (lag → gap flag → cumulative turn index → one
+    agg). Output schema and ids match the streaming op exactly —
+    ``{key}-{floor(turn_start_ms)}`` via ``unix_micros DIV 1000`` (integer
+    math; the streaming fn floors the same value) — so (a) the driver can
+    oracle-check this twin against DuckDB, and (b) the pytest parity
+    assertion (streaming availableNow == batch twin on the same input)
+    transitively pins the streaming operator to that driver row. On a
+    replay/backfill this IS the recommended implementation: one shuffle per
+    key, no state store."""
+    turns = (
+        # NTZ parquet timestamps cast via the (UTC) session zone so
+        # unix_micros resolves; a real TIMESTAMP column passes through
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+        )
+        .withColumn("__prev", F.lag(F.col("__ts").cast("double")).over(
+            Window.partitionBy("key").orderBy(F.col("__ts").cast("double"))
+        ))
+        .withColumn(
+            "__new_turn",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__ts").cast("double") - F.col("__prev") > F.lit(float(gap_seconds))),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__turn",
+            F.sum("__new_turn").over(
+                Window.partitionBy("key")
+                .orderBy(F.col("__ts").cast("double"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        turns.groupBy("key", "__turn")
+        .agg(
+            F.min("__ts").alias("__start_ts"),
+            F.max(F.col("__ts").cast("double")).alias("turn_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "key",
+            F.concat_ws(
+                "-", "key", F.expr("CAST(unix_micros(__start_ts) DIV 1000 AS STRING)")
+            ).alias("segment_id"),
+            F.lit("FINALIZED").alias("status"),
+            F.col("__start_ts").cast("double").alias("turn_start"),
+            "turn_end",
+            "n_events",
         )
     )
 

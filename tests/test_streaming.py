@@ -271,3 +271,80 @@ def test_merge_turn_updates_restores_finalized_over_ghost(spark):
     assert got["u1-1000"]["n_events"] == 5 and got["u1-1000"]["turn_end"] == 9.0
     assert got["u2-5000"]["status"] == "FINALIZED"
     assert got["u3-7000"]["n_events"] == 3
+
+
+def test_turn_lifecycle_batch_twin_parity(tmp_path, spark):
+    """turn_lifecycle_batch must produce exactly the FINALIZED set the
+    streaming operator converges to — same event-time-derived segment ids
+    (µs-precision timestamps exercise the floor(ms) id math), bounds, and
+    counts. This parity is what lets the driver-checked batch row
+    (q: turn_lifecycle_batch, DuckDB oracle) transitively pin the
+    streaming operator."""
+    import datetime as dt
+    import os
+
+    from slower_whisper_spark.streaming.validate import (
+        turn_lifecycle,
+        turn_lifecycle_batch,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for k in range(4):
+        base = t0 + dt.timedelta(seconds=137 * k)
+        for turn in range(3):
+            start = base + dt.timedelta(seconds=300 * turn)
+            for e in range(turn + 1):
+                rows.append(
+                    (f"u{k}", start + dt.timedelta(microseconds=1_234_567 * e + 575))
+                )
+    src = str(tmp_path / "twin_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows, "key string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # sentinel far-future event: advances the watermark past every real
+    # turn's timeout so the stream finalizes them all before draining
+    spark.createDataFrame(
+        [("zz", t0 + dt.timedelta(days=30))], "key string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("key string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = turn_lifecycle(
+        stream, key_col="key", ts_col="ts", gap_seconds=30.0, watermark="1 second"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("twin_tbl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twin_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def row_key(r):
+        return (
+            r["key"],
+            r["segment_id"],
+            round(r["turn_start"], 6),
+            round(r["turn_end"], 6),
+            r["n_events"],
+        )
+
+    streamed = {
+        row_key(r)
+        for r in spark.sql("SELECT * FROM twin_tbl").collect()
+        if r["status"] == "FINALIZED" and r["key"] != "zz"
+    }
+    batch_df = turn_lifecycle_batch(
+        spark.read.parquet(src).filter("key <> 'zz'"),
+        key_col="key",
+        ts_col="ts",
+        gap_seconds=30.0,
+    )
+    batched = {row_key(r) for r in batch_df.collect()}
+    assert len(batched) == 12  # 4 keys × 3 turns
+    assert streamed == batched
