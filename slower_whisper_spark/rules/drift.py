@@ -18,7 +18,6 @@ lives in the checkpoint manifest (mergeable across runs by summing counts).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
-from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -35,6 +34,23 @@ def _expr_or_col(name: str):
     hyphens, dots or spaces that F.expr would mis-parse as operators — stays
     a plain column lookup, preserving pre-expression behavior."""
     return F.expr(name) if "(" in name else F.col(name)
+
+
+def _sql_ref(name: str) -> str:
+    """SQL text for the same reference `_expr_or_col` builds: expressions
+    pass through, plain names are backtick-quoted."""
+    return name if "(" in name else "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _dlit(v: float) -> str:
+    """Exact double literal: repr round-trips the float and CAST(string AS
+    DOUBLE) parses with Double.parseDouble, so the SQL-text plan computes on
+    bit-identical constants to the old F.lit(float) Column path."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
 @dataclass
@@ -197,31 +213,45 @@ class Drift(TableRule):
         ids = list(range(len(b.categories)))
         return ids + [-1]  # -1 = unseen category
 
-    def _row_bucket_expr(self):
+    def _row_bucket_sql(self) -> str:
+        """The per-row bucket id as SQL TEXT — the fold path ships one parsed
+        string per bucket aggregate instead of a py4j round-trip per Column
+        operator (plan construction for a 40-rule suite is driver-SERIAL at
+        both ends of a scaling run, so it is sized like any other phase)."""
         b = self.baseline
         if b.kind == "hist":
-            return F.width_bucket(
-                _expr_or_col(self.column).cast("double"), F.lit(b.lo), F.lit(b.hi), F.lit(b.n_buckets)
-            )
+            x = f"CAST({_sql_ref(self.column)} AS DOUBLE)"
+            return f"width_bucket({x}, {_dlit(b.lo)}, {_dlit(b.hi)}, {int(b.n_buckets)})"
         if b.kind == "quantile":
             # equi-depth bucket = #edges strictly below the value (0..k-1);
             # a ~20-element literal-array HOF, stays in codegen
-            x = _expr_or_col(self.column).cast("double")
-            edges_arr = F.array(*[F.lit(float(e)) for e in b.edges])
-            return F.when(x.isNull(), F.lit(-1)).otherwise(
-                F.size(F.filter(edges_arr, lambda e: x > e))
+            x = f"CAST({_sql_ref(self.column)} AS DOUBLE)"
+            edges = ", ".join(_dlit(e) for e in b.edges)
+            return (
+                f"CASE WHEN {x} IS NULL THEN -1 "
+                f"ELSE size(filter(array({edges}), e -> {x} > e)) END"
             )
-        known = _expr_or_col(self.column).cast("string")
+        known = f"CAST({_sql_ref(self.column)} AS STRING)"
         cats = list(b.categories)
+        null_idx = cats.index("<NULL>") if "<NULL>" in cats else -1
+        arr = ", ".join(_sql_str(c) for c in cats)
+        # array_position returns 0 (not NULL) when absent → -1 after the
+        # shift; coalesce keeps the old Column path's NULL belt-and-braces
         return (
-            F.when(known.isNull(), F.lit(cats.index("<NULL>") if "<NULL>" in cats else -1))
-            .otherwise(F.coalesce(F.array_position(F.lit(cats), known) - 1, F.lit(-1)))
+            f"CASE WHEN {known} IS NULL THEN {null_idx} "
+            f"ELSE coalesce(array_position(array({arr}), {known}) - 1, -1) END"
         )
 
+    def _row_bucket_expr(self):
+        return F.expr(self._row_bucket_sql())
+
     def fold_agg_exprs(self) -> list:
-        bucket = self._row_bucket_expr()
+        bucket = self._row_bucket_sql()
         return [
-            F.sum(F.when(bucket == F.lit(i), 1).otherwise(0)).alias(f"drift__{self.rule_id}__{i}")
+            F.expr(
+                f"sum(CASE WHEN ({bucket}) = {i} THEN 1 ELSE 0 END) "
+                f"AS `drift__{self.rule_id}__{i}`"
+            )
             for i in self._bucket_ids()
         ]
 
@@ -239,54 +269,64 @@ class Drift(TableRule):
             base_counts[-1] = 0.0
         qtot = sum(base_counts.values()) or 1.0
 
-        cnt_cols = [F.col(f"drift__{self.rule_id}__{i}").cast("double") for i in ids]
-        w = wide.select("partition", *[c.alias(f"__c{k}") for k, c in enumerate(cnt_cols)])
-        total = reduce(lambda a, b: a + b, [F.col(f"__c{k}") for k in range(len(ids))])
-        w = w.withColumn("__tot", total)
-        w = w.select(
+        # Every projection ships as SQL TEXT (one selectExpr = one py4j
+        # round-trip, parsed JVM-side) instead of per-operator Column calls;
+        # arithmetic keeps the exact shape/association of the old Column
+        # plan ('a + b + c' parses left-assoc like reduce(+)), and _dlit
+        # round-trips constants, so results are bit-identical.
+        ks = range(len(ids))
+        rid = self.rule_id
+        w = wide.selectExpr(
+            "partition",
+            *[
+                f"CAST(`drift__{rid}__{i}` AS DOUBLE) AS __c{k}"
+                for k, i in enumerate(ids)
+            ],
+        )
+        tot = " + ".join(f"__c{k}" for k in ks)
+        w = w.selectExpr("partition", *[f"__c{k}" for k in ks], f"{tot} AS __tot")
+        eps = _dlit(_EPS)
+        w = w.selectExpr(
             "partition",
             "__tot",
-            *[
-                ((F.col(f"__c{k}") + _EPS) / (F.col("__tot") + _EPS)).alias(f"__p{k}")
-                for k in range(len(ids))
-            ],
+            *[f"(__c{k} + {eps}) / (__tot + {eps}) AS __p{k}" for k in ks],
         )
 
         if self.metric == "psi":
             contribs = []
             for k, i in enumerate(ids):
-                q = (base_counts[i] + _EPS) / (qtot + _EPS)
-                p = F.col(f"__p{k}")
-                contribs.append((p - F.lit(q)) * F.log(p / F.lit(q)))
-            stat = reduce(lambda a, b: a + b, contribs)
-        else:  # ks over ascending bucket order, cumulative sums as columns
+                q = _dlit((base_counts[i] + _EPS) / (qtot + _EPS))
+                contribs.append(f"((__p{k} - {q}) * ln(__p{k} / {q}))")
+            stat = " + ".join(contribs)
+        else:  # ks over ascending bucket order, cumulative sums stay NAMED
+            # (inlining them would nest quadratically; the cum TEXT reuses
+            # the previous step's parenthesized sum, matching the old
+            # left-assoc column chain)
             order = sorted(range(len(ids)), key=lambda k: ids[k])
             cq = 0.0
             diffs = []
-            prev = None
-            for step, k in enumerate(order):
-                name = f"__cp{step}"
-                cum = F.col(f"__p{k}") if prev is None else F.col(prev) + F.col(f"__p{k}")
-                w = w.withColumn(name, cum)
-                prev = name
+            cum = None
+            for k in order:
+                cum = f"__p{k}" if cum is None else f"({cum} + __p{k})"
                 cq += (base_counts[ids[k]] + _EPS) / (qtot + _EPS)
-                diffs.append(F.abs(F.col(name) - F.lit(cq)))
-            stat = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+                diffs.append(f"abs(({cum}) - {_dlit(cq)})")
+            stat = f"greatest({', '.join(diffs)})" if len(diffs) > 1 else diffs[0]
 
-        w = w.withColumn("__stat", stat)
-        small = F.col("__tot") < F.lit(float(self.min_rows))
-        return w.select(
-            F.col("partition"),
-            F.lit(self.rule_id).alias("rule_id"),
-            (small | (F.col("__stat") <= F.lit(self.threshold))).alias("passed"),
-            F.lit(0).cast("long").alias("violations"),
-            F.when(
-                small,
-                F.concat(F.lit("skipped: n="), F.col("__tot").cast("long").cast("string"), F.lit(f" < min_rows={self.min_rows}")),
-            )
-            .otherwise(F.concat(F.lit(f"{self.metric}="), F.round(F.col("__stat"), 6).cast("string")))
-            .alias("observed"),
-            F.lit(f"{self.metric} <= {self.threshold}").alias("expected"),
+        w = w.selectExpr("partition", "__tot", f"{stat} AS __stat")
+        small = f"(__tot < {_dlit(float(self.min_rows))})"
+        obs_small = (
+            "concat('skipped: n=', CAST(CAST(__tot AS BIGINT) AS STRING), "
+            + _sql_str(f" < min_rows={self.min_rows}")
+            + ")"
+        )
+        obs_stat = f"concat({_sql_str(self.metric + '=')}, CAST(round(__stat, 6) AS STRING))"
+        return w.selectExpr(
+            "partition",
+            f"{_sql_str(rid)} AS rule_id",
+            f"({small} OR (__stat <= {_dlit(self.threshold)})) AS passed",
+            "CAST(0 AS BIGINT) AS violations",
+            f"CASE WHEN {small} THEN {obs_small} ELSE {obs_stat} END AS observed",
+            f"{_sql_str(f'{self.metric} <= {self.threshold}')} AS expected",
         )
 
     def _bucketed(self, df: DataFrame, partition_col: str) -> DataFrame:

@@ -64,6 +64,14 @@ def get_spark(
         # must stay in whole-stage codegen; default maxFields=100 silently
         # drops them to interpreted mode (~10-30x slower)
         .config("spark.sql.codegen.maxFields", "400")
+        # PySpark 4 wraps every DataFrame-API call with call-site capture
+        # (a Python stack walk + two extra JVM round-trips to set/clear
+        # PySparkCurrentOrigin) purely to enrich error messages. On a
+        # plan-construction-heavy workload (a 40-rule suite builds ~1k
+        # wrapped calls per validate()) that is measurable driver-serial
+        # time at BOTH ends of a scaling run; errors still raise, just
+        # without the user-code line annotation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -53,6 +53,10 @@ def _profiles_for(df: DataFrame, columns: list[str] | None) -> list[ColumnProfil
     return out
 
 
+def _bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
 def stat_agg_exprs(
     df: DataFrame,
     profiles: list[ColumnProfile],
@@ -61,40 +65,49 @@ def stat_agg_exprs(
 ) -> list:
     """Aggregate expressions for a stats profile — exposed separately so
     ConstraintSuite can fold them into its pass-1 scan (ONE scan computes
-    rule fail-counts AND column stats)."""
+    rule fail-counts AND column stats).
+
+    Built as SQL text (one parsed F.expr per aggregate): profiling 5
+    columns is ~35 py4j round-trips instead of several hundred Column
+    calls — plan construction is driver-serial at both ends of a scaling
+    run, so it is sized like any other phase."""
     by_type = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for p in profiles:
-        c = F.col(p.column)
         dt = by_type[p.column]
+        c = _bt(p.column)
         if isinstance(dt, NUMERIC_TYPES):
-            num = c.cast("double")
+            num = f"CAST({c} AS DOUBLE)"
         elif isinstance(dt, (T.TimestampType, T.DateType)):
-            num = c.cast("timestamp").cast("double")
+            num = f"CAST(CAST({c} AS TIMESTAMP) AS DOUBLE)"
         elif isinstance(dt, (T.StringType, T.BinaryType)):
-            num = F.length(c).cast("double")
+            num = f"CAST(length({c}) AS DOUBLE)"
         elif isinstance(dt, T.ArrayType):
-            num = F.size(c).cast("double")
+            num = f"CAST(size({c}) AS DOUBLE)"
         else:
-            num = F.lit(None).cast("double")
+            num = "CAST(NULL AS DOUBLE)"
         n = p.column
         # binary min/max as raw bytes would produce non-UTF8 strings; use lengths
-        ordered = F.length(c) if isinstance(dt, T.BinaryType) else c
+        ordered = f"length({c})" if isinstance(dt, T.BinaryType) else c
+        qs = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in quantiles)
         aggs += [
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"nulls__{n}"),
-            F.min(ordered).cast("string").alias(f"min__{n}"),
-            F.max(ordered).cast("string").alias(f"max__{n}"),
-            F.avg(num).alias(f"mean__{n}"),
-            F.stddev_samp(num).alias(f"stddev__{n}"),
-            F.percentile_approx(num, list(quantiles), quantile_accuracy).alias(f"q__{n}"),
+            F.expr(f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {_bt(f'nulls__{n}')}"),
+            F.expr(f"CAST(min({ordered}) AS STRING) AS {_bt(f'min__{n}')}"),
+            F.expr(f"CAST(max({ordered}) AS STRING) AS {_bt(f'max__{n}')}"),
+            F.expr(f"avg({num}) AS {_bt(f'mean__{n}')}"),
+            F.expr(f"stddev_samp({num}) AS {_bt(f'stddev__{n}')}"),
+            F.expr(
+                f"percentile_approx({num}, array({qs}), {int(quantile_accuracy)})"
+                f" AS {_bt(f'q__{n}')}"
+            ),
         ]
         if p.distinct:
             # hll_sketch_agg accepts int/bigint/string/binary only
             if isinstance(dt, (T.StringType, T.BinaryType, T.IntegerType, T.LongType)):
                 sk_src = c
             else:
-                sk_src = c.cast("string")
-            aggs.append(F.hll_sketch_agg(sk_src, 14).alias(f"hll__{n}"))
+                sk_src = f"CAST({c} AS STRING)"
+            aggs.append(F.expr(f"hll_sketch_agg({sk_src}, 14) AS {_bt(f'hll__{n}')}"))
     return aggs
 
 
@@ -105,33 +118,47 @@ def unpivot_stats(
     include_sketches: bool = False,
 ) -> DataFrame:
     """Long-format stats from a (cached) wide agg row. Pure projections —
-    no extra scan of the source table."""
-    parts = []
+    no extra scan of the source table.
+
+    ONE ``stack`` generator unpivots every profiled column in a single
+    projection: no per-column select + unionByName chain (which re-analyzed
+    a growing plan per column — O(n²) driver time) and no Union node at
+    runtime."""
+    names = ["column", "dtype", "nulls", "null_rate", "min", "max", "mean", "stddev"]
+    names += [f"p{int(q * 100)}" for q in quantiles]
+    names.append("approx_distinct")
+    if include_sketches:
+        names.append("hll_sketch_b64")
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    tuples = []
     for p in profiles:
         n = p.column
-        sel = [
-            F.col("partition"),
-            F.lit(n).alias("column"),
-            F.lit(p.dtype).alias("dtype"),
-            F.col("rows").cast("long").alias("rows"),
-            F.col(f"nulls__{n}").cast("long").alias("nulls"),
-            (F.col(f"nulls__{n}") / F.col("rows")).alias("null_rate"),
-            F.col(f"min__{n}").alias("min"),
-            F.col(f"max__{n}").alias("max"),
-            F.col(f"mean__{n}").alias("mean"),
-            F.col(f"stddev__{n}").alias("stddev"),
+        nulls, q_arr, hll = _bt(f"nulls__{n}"), _bt(f"q__{n}"), _bt(f"hll__{n}")
+        row = [
+            _q(n),
+            _q(p.dtype),
+            f"CAST({nulls} AS BIGINT)",
+            f"{nulls} / rows",
+            _bt(f"min__{n}"),
+            _bt(f"max__{n}"),
+            _bt(f"mean__{n}"),
+            _bt(f"stddev__{n}"),
         ]
-        for i, q in enumerate(quantiles):
-            sel.append(F.col(f"q__{n}")[i].alias(f"p{int(q * 100)}"))
-        sel.append(F.hll_sketch_estimate(F.col(f"hll__{n}")).cast("long").alias("approx_distinct"))
+        row += [f"{q_arr}[{i}]" for i in range(len(quantiles))]
+        row.append(f"CAST(hll_sketch_estimate({hll}) AS BIGINT)")
         if include_sketches:
-            sel.append(F.base64(F.col(f"hll__{n}")).alias("hll_sketch_b64"))
-        parts.append(wide.select(*sel))
+            row.append(f"base64({hll})")
+        tuples.append(", ".join(row))
 
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
-    return out
+    stacked = wide.selectExpr(
+        "partition",
+        "CAST(rows AS BIGINT) AS rows",
+        f"stack({len(profiles)}, {', '.join(tuples)}) AS ({', '.join(names)})",
+    )
+    return stacked.select("partition", *names[:2], "rows", *names[2:])
 
 
 def profile(
