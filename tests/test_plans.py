@@ -247,3 +247,52 @@ def test_no_rdd_api_in_package_source():
                 if re.search(r"\.rdd\b", line):
                     hits.append(f"{path}:{i}: {line.strip()}")
     assert not hits, hits
+
+
+def test_stats_unpivot_single_generate_no_union(docs_parquet):
+    """unpivot_stats must be ONE stack() projection over the wide agg row —
+    a per-column select + unionByName chain would re-analyze a growing plan
+    per profiled column (O(n^2) driver time) and leave a Union node at
+    runtime. Generate appears exactly once; Union not at all."""
+    from slower_whisper_spark.plans import explain_str
+    from slower_whisper_spark.stats import profile
+
+    st = profile(
+        docs_parquet, partition_col="warc_day", columns=["url", "lang", "text"]
+    )
+    import re
+
+    plan = explain_str(st)
+    assert "Union" not in plan, plan
+    # formatted explain prints each node once in the tree and once in the
+    # details section — count numbered detail entries
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_drift_fold_verdict_matches_column_semantics(spark):
+    """The SQL-text fold_verdict must reproduce the documented PSI exactly:
+    a hand-computed numpy PSI on a known histogram agrees to 1e-9 (guards
+    the Column->SQL-text rewrite: association order, eps, ln base)."""
+    import math
+
+    from slower_whisper_spark.rules.drift import _EPS, Baseline, Drift
+
+    base = Baseline(column="v", kind="hist", counts=[10, 20, 30, 40], lo=0.0, hi=4.0, n_buckets=2)
+    rule = Drift("v", base, metric="psi", threshold=0.001, min_rows=1, rule_id="d")
+    df = spark.createDataFrame(
+        [("p1", float(v)) for v in [0.5] * 5 + [1.5] * 10 + [2.5] * 30 + [3.5] * 5],
+        "part string, v double",
+    )
+    wide = df.groupBy(F.col("part").alias("partition")).agg(*rule.fold_agg_exprs())
+    row = rule.fold_verdict(wide).collect()[0]
+    # width_bucket(x, 0, 4, 2): bucket ids 0..3 (0=underflow, 3=overflow)
+    counts = [0.0, 15.0, 35.0, 0.0]
+    qtot = 100.0
+    tot = 50.0
+    psi = 0.0
+    for c, q in zip(counts, [10.0, 20.0, 30.0, 40.0]):
+        p = (c + _EPS) / (tot + _EPS)
+        qq = (q + _EPS) / (qtot + _EPS)
+        psi += (p - qq) * math.log(p / qq)
+    assert row["passed"] is False
+    assert row["observed"] == f"psi={round(psi, 6)}"
