@@ -517,6 +517,20 @@ def scaling_main() -> None:
         if probe_eff
         else ""
     )
+    # per-rep pairs: a median across drifting windows can hide the one
+    # clean-window rep the north rule cares about (raw ≥0.8 at probe ≥0.9)
+    rep_strs = []
+    for i in range(min(len(runs[lo]), len(runs[hi]))):
+        re_ = (runs[hi][i]["suite_warm_docs_per_sec"]
+               / runs[lo][i]["suite_warm_docs_per_sec"]) / ratio
+        pl, ph = (runs[lo][i].get("cpu_probe_wall_sec"),
+                  runs[hi][i].get("cpu_probe_wall_sec"))
+        pe = f"{(pl / ph) / ratio:.3f}" if pl and ph else "n/a"
+        rep_strs.append(f"rep{i} {re_:.3f}@probe {pe}")
+    rep_note = (
+        "Per-rep (suite raw eff @ same-session probe ceiling): "
+        + "; ".join(rep_strs) + ".\n" if rep_strs else ""
+    )
     llm_table = ""
     if results[hi].get("minhash_docs_per_sec"):
         llm_table = f"""
@@ -553,6 +567,24 @@ sha ceiling is the hardware's string-churn penalty, not a shuffle defect
                     "warm_wall_hi": results[hi]["suite_warm_wall_sec"],
                     "minhash_eff": round(_op_eff("minhash_docs_per_sec"), 3),
                     "ann_eff": round(_op_eff("ann_vecs_per_sec"), 3),
+                    # per-rep (suite raw eff, probe ceiling eff) pairs: the
+                    # medians above summarize, but the north rule's cleanest
+                    # evidence is a single rep where BOTH the job scaled
+                    # ≥0.8 AND the same-session probe shows a quiet host —
+                    # medians across drifting windows can hide such a rep
+                    "rep_pairs": [
+                        {
+                            "suite_raw_eff": round(
+                                (runs[hi][i]["suite_warm_docs_per_sec"]
+                                 / runs[lo][i]["suite_warm_docs_per_sec"]) / ratio, 3),
+                            "probe_eff": round(
+                                (runs[lo][i]["cpu_probe_wall_sec"]
+                                 / runs[hi][i]["cpu_probe_wall_sec"]) / ratio, 3)
+                            if runs[lo][i].get("cpu_probe_wall_sec")
+                            and runs[hi][i].get("cpu_probe_wall_sec") else None,
+                        }
+                        for i in range(min(len(runs[lo]), len(runs[hi])))
+                    ],
                     "note": os.environ.get(
                         "SWS_BENCH_NOTE",
                         time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
@@ -646,7 +678,7 @@ separately and never mixed in one column.)
 
 **Scaling efficiency (warm throughput@{hi} / warm throughput@{lo}) / {ratio:.0f} = {eff:.3f}**
 (target ≥ 0.8; cold-including-planning efficiency: {eff_cold:.3f})
-{probe_note}{llm_table}{phase_md}
+{probe_note}{rep_note}{llm_table}{phase_md}
 ## Why N=2 vs 4N=8, and why normalize to a same-day probe
 
 A pure-CPU probe — `max(sha2(concat(id,'x'),256))` over `range(100M)`,
