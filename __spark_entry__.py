@@ -174,6 +174,109 @@ def _png_fixture(n_images: int = 20):
                 "mean_px": round(float(expanded.mean()), 6),
             }
         )
+
+    # shared byte-level PNG row filter (spec filters at BYTE granularity
+    # with an a-offset of bpp bytes — so it serves 8-bit, 16-bit bpp=2*ch,
+    # and Adam7 pass sub-images alike)
+    def enc_rows(rows_bytes, bpp, filt):
+        parts = []
+        prev = np.zeros(rows_bytes.shape[1], dtype=np.uint8)
+        for y in range(rows_bytes.shape[0]):
+            r = rows_bytes[y].astype(int)
+            p = prev.astype(int)
+            z = np.zeros(bpp, dtype=int)
+            if filt == 0:
+                enc = r.copy()
+            elif filt == 1:
+                enc = r.copy()
+                enc[bpp:] = (r[bpp:] - r[:-bpp]) & 0xFF
+            elif filt == 2:
+                enc = (r - p) & 0xFF
+            elif filt == 3:
+                a = np.concatenate([z, r[:-bpp]])
+                enc = (r - ((a + p) >> 1)) & 0xFF
+            else:  # Paeth
+                a = np.concatenate([z, r[:-bpp]])
+                c = np.concatenate([z, p[:-bpp]])
+                pr = a + p - c
+                pa, pb, pc = np.abs(pr - a), np.abs(pr - p), np.abs(pr - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, p, c))
+                enc = (r - pred) & 0xFF
+            parts.append(bytes([filt]) + bytes(enc.astype(np.uint8)))
+            prev = rows_bytes[y]
+        return b"".join(parts)
+
+    ctype_of = {1: 0, 2: 4, 3: 2, 4: 6}
+
+    # 16-bit images (r5): big-endian sample pairs, filter bpp = 2*channels;
+    # the decoder downscales to the HIGH byte, so the expected mean is over
+    # img16 >> 8 of the raw array
+    for k in range(5):
+        i = n_images + 5 + k
+        rng = np.random.RandomState(3000 + k)
+        ch = [1, 2, 3, 4, 3][k]
+        filt = k % 5
+        w, h = 10 + k, 7 + (k % 3)
+        img16 = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+        row_bytes = np.frombuffer(
+            img16.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * ch * 2)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype_of[ch], 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(enc_rows(row_bytes, 2 * ch, filt)))
+            + chunk(b"IEND", b"")
+        )
+        rows.append(
+            {
+                "img_id": i,
+                "png": png,
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "mean_px": round(float((img16 >> 8).mean()), 6),
+            }
+        )
+
+    # Adam7-interlaced images (r5): seven independently-filtered pass
+    # sub-images (filter type varies per pass for coverage), sizes chosen
+    # so some passes are empty on some images
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    for k in range(5):
+        i = n_images + 10 + k
+        rng = np.random.RandomState(4000 + k)
+        ch = [1, 2, 3, 4, 1][k]
+        w, h = 3 + 4 * k, 2 + 3 * k  # 3x2 .. 19x14: exercises empty passes
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        parts = []
+        for p_i, (x0, y0, dx, dy) in enumerate(adam7):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                enc_rows(sub.reshape(sub.shape[0], -1), ch, (k + p_i) % 5)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_of[ch], 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + chunk(b"IEND", b"")
+        )
+        rows.append(
+            {
+                "img_id": i,
+                "png": png,
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "mean_px": round(float(img.mean()), 6),
+            }
+        )
     return rows
 
 
@@ -536,11 +639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Distributed PNG pixel decode over a binary column (the multimodal
         plumbing pattern: opaque bytes + Arrow-batched mapInPandas, numpy
         decode per payload, typed metadata out). Input is the deterministic
-        in-repo PNG fixture — 25 images over all 5 filter types × 4 color
-        types plus 5 PALETTE images (color type 3, PLTE-expanded — r5),
-        ENCODED from seeded raw arrays; the oracle is the per-image
-        pixel mean of those RAW arrays as literals, so the row checks
-        encode→decode round-trip fidelity end to end on the cluster path."""
+        in-repo PNG fixture — 35 images: all 5 filter types × 4 color
+        types, 5 PALETTE (color type 3, PLTE-expanded), 5 16-BIT (filter
+        bpp = 2×channels, high-byte downscale) and 5 ADAM7-interlaced
+        (per-pass filtering incl. empty passes — r5), ENCODED from seeded
+        raw arrays; the oracle is the per-image pixel mean of those RAW
+        arrays as literals, so the row checks encode→decode round-trip
+        fidelity end to end on the cluster path."""
         import pandas as pd
 
         from slower_whisper_spark.operators.multimodal import decode_png_pixels

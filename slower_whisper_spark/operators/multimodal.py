@@ -135,28 +135,87 @@ def parse_media_header(b: bytes) -> dict:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec order
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_rows(raw: bytes, pos: int, width: int, height: int, bpp: int):
+    """Un-filter ``height`` scanlines of ``width`` pixels (``bpp`` FILTER
+    bytes each — the spec filters at byte granularity, so a 16-bit RGB
+    pixel is bpp=6) starting at raw[pos]. Returns ((height, width*bpp)
+    uint8, next pos) or None on truncation/unknown filter.
+
+    Dispatch per filter type on vectorization: None/Up are whole-row numpy
+    ops; Sub is a per-byte-lane CUMSUM mod 256 (out[i] = raw[i] + out[i-bpp]
+    telescopes to a prefix sum per lane — fully vectorized); Average/Paeth
+    remain genuinely sequential (their predictor divides/branches on the
+    previous OUTPUT pixel, which doesn't telescope) but loop per PIXEL with
+    numpy byte vectors, not per byte."""
+    stride = width * bpp
+    if len(raw) - pos < height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = raw[pos]
+        cur = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 2:  # Up: fully vectorized (uint8 wraps = mod-256 per spec)
+            cur += prev
+        elif f == 1:  # Sub: prefix sum per byte lane; cumsum in int64, wrap once
+            lanes = cur.reshape(width, bpp).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 3:  # Average: sequential per pixel, vector per lane
+            px = cur.reshape(width, bpp).astype(np.int32)
+            pv = prev.reshape(width, bpp).astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                a = (px[x] + ((a + pv[x]) >> 1)) & 0xFF
+                px[x] = a
+            cur = px.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth: sequential per pixel, vector per lane
+            px = cur.reshape(width, bpp).astype(np.int32)
+            pv = prev.reshape(width, bpp).astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                bb = pv[x]
+                p = a + bb - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c))
+                a = (px[x] + pred) & 0xFF
+                px[x] = a
+                c = bb
+            cur = px.astype(np.uint8).reshape(stride)
+        else:
+            return None
+        out[y] = cur
+    return out, pos
+
+
 def decode_png_pixels(b: bytes) -> np.ndarray | None:
     """REAL PNG pixel decode with nothing but stdlib zlib + numpy: IDAT
     chunks concatenate to one zlib stream; scanlines un-filter per the PNG
-    spec (filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).
+    spec (filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth —
+    see _unfilter_rows for the vectorization per type).
 
-    Supports the dominant web cases — 8-bit depth, non-interlaced: gray /
-    gray+alpha / RGB / RGBA (color types 0/4/2/6) plus PALETTE (color type
-    3, the most common remaining web case): the index plane un-filters as a
-    1-byte-per-pixel image and the PLTE table expands it with one numpy
-    ``take`` to RGB (tRNS transparency is ignored — indices expand to their
-    opaque RGB entries). 16-bit and Adam7-interlaced images return None
-    (caller falls back to the hash feature, documented). Returns
-    (height, width, channels) uint8.
-
-    Row un-filtering dispatches per filter type on vectorization: None/Up
-    are whole-row numpy ops; Sub is a per-channel CUMSUM mod 256 (the
-    recurrence out[i] = raw[i] + out[i-ch] telescopes to a prefix sum per
-    channel lane — fully vectorized); Average/Paeth remain genuinely
-    sequential (their predictor divides/branches on the previous OUTPUT
-    pixel, which doesn't telescope) but loop per PIXEL with numpy channel
-    vectors, not per byte. A production pipeline swaps in a codec library
-    behind the same decoder tier."""
+    Supports the web cases that need no codec library: 8-bit gray /
+    gray+alpha / RGB / RGBA (color types 0/4/2/6), PALETTE (color type 3:
+    the index plane un-filters as a 1-byte-per-pixel image and the PLTE
+    table expands it with one numpy ``take`` to RGB; tRNS transparency is
+    ignored — indices expand to their opaque RGB entries), 16-BIT samples
+    (filtering happens at byte granularity with bpp = 2×channels; samples
+    downscale to 8-bit by their high byte, exactly val >> 8), and ADAM7
+    interlacing (seven independently-filtered sub-images scattered back on
+    the pass grid with strided numpy assignment). Sub-8-bit packed depths
+    (1/2/4) return None (caller falls back to the hash feature,
+    documented). Returns (height, width, channels) uint8. A production
+    pipeline swaps in a codec library behind the same decoder tier."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     try:
@@ -164,9 +223,16 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
         depth, ctype, interlace = b[24], b[25], b[28]
         # color type 3 (palette): scanlines carry 1-byte indices; the
         # filter bpp for palette images is 1 per spec, so the un-filter
-        # loop below works unchanged on the index plane
+        # loop works unchanged on the index plane
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-        if depth != 8 or interlace != 0 or channels is None or not w or not h:
+        if (
+            depth not in (8, 16)
+            or (depth == 16 and ctype == 3)  # no 16-bit palette in the spec
+            or interlace not in (0, 1)
+            or channels is None
+            or not w
+            or not h
+        ):
             return None
         # chunk walk: concatenate every IDAT payload (+ grab PLTE)
         idat, plte, i = [], None, 8
@@ -185,55 +251,37 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             return None
     except (struct.error, IndexError, zlib.error):
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        cur = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
-        pos += 1 + stride
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if f == 0:
-            pass
-        elif f == 2:  # Up: fully vectorized (uint8 wraps = mod-256 per spec)
-            cur += prev
-        elif f == 1:  # Sub: out[i] = raw[i] + out[i-ch] telescopes to a
-            # per-channel-lane prefix sum; cumsum in int64, wrap once
-            lanes = cur.reshape(w, channels).astype(np.int64)
-            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
-        elif f == 3:  # Average: sequential per pixel, vector per channel
-            px = cur.reshape(w, channels).astype(np.int32)
-            pv = prev.reshape(w, channels).astype(np.int32)
-            a = np.zeros(channels, dtype=np.int32)
-            for x in range(w):
-                a = (px[x] + ((a + pv[x]) >> 1)) & 0xFF
-                px[x] = a
-            cur = px.astype(np.uint8).reshape(stride)
-        elif f == 4:  # Paeth: sequential per pixel, vector per channel
-            px = cur.reshape(w, channels).astype(np.int32)
-            pv = prev.reshape(w, channels).astype(np.int32)
-            a = np.zeros(channels, dtype=np.int32)
-            c = np.zeros(channels, dtype=np.int32)
-            for x in range(w):
-                bb = pv[x]
-                p = a + bb - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
-                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c))
-                a = (px[x] + pred) & 0xFF
-                px[x] = a
-                c = bb
-            cur = px.astype(np.uint8).reshape(stride)
-        else:
+    bpp = channels * (2 if depth == 16 else 1)
+    if interlace == 0:
+        res = _unfilter_rows(raw, 0, w, h, bpp)
+        if res is None:
             return None
-        out[y] = cur
+        out = res[0]
+    else:
+        # Adam7: each pass is its own sub-image with its own scanlines and
+        # filter history; decoded pixels scatter back via strided indexing
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # pass empty at this image size
+                continue
+            res = _unfilter_rows(raw, pos, pw, ph, bpp)
+            if res is None:
+                return None
+            sub, pos = res
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        out = img.reshape(h, w * bpp)
     if ctype == 3:
         # palette expansion: one vectorized take on the un-filtered index
         # plane; out-of-range indices clamp (decoders commonly tolerate)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = np.minimum(out.reshape(h, w), len(pal) - 1)
         return pal[idx]  # (h, w, 3) uint8
+    if depth == 16:
+        # big-endian sample pairs → high byte (exactly val >> 8)
+        return np.ascontiguousarray(out.reshape(h, w, channels, 2)[..., 0])
     return out.reshape(h, w, channels)
 
 

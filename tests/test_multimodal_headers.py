@@ -269,3 +269,111 @@ def test_png_real_features_exact_channel_means(spark):
     assert abs(f[3] - 0.0) < 1e-6 and abs(f[4] - 0.0) < 1e-6  # R,G std
     assert abs(f[5] - 50 / 255) < 1e-6      # B std
     assert out["meta"]["width"] == 10 and out["meta"]["format"] == "png"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_rows_bytes(rows_bytes: np.ndarray, bpp: int, ft: int) -> bytes:
+    """Byte-granularity row filter (the spec's model) — independent of the
+    package's decoder AND of the fixture's encoder."""
+    out = bytearray()
+    prev = np.zeros(rows_bytes.shape[1], dtype=np.int32)
+    for y in range(rows_bytes.shape[0]):
+        line = rows_bytes[y].astype(np.int32)
+        out.append(ft)
+        for i in range(rows_bytes.shape[1]):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if (i >= bpp and y > 0) else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] - a
+            elif ft == 2:
+                v = line[i] - b
+            elif ft == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - _paeth(a, b if y > 0 else 0, c)
+            out.append(int(v) & 0xFF)
+        prev = line
+    return bytes(out)
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit samples filter at bpp = 2*channels; the decoder must recover
+    exactly val >> 8 for every filter type and channel count."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(31)
+    for ft in range(5):
+        ch = [1, 2, 3, 4, 3][ft]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        img16 = rng.randint(0, 65536, size=(7, 11, ch)).astype(np.uint16)
+        rows_bytes = np.frombuffer(
+            img16.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(7, 11 * ch * 2)
+        ihdr = struct.pack(">IIBBBBB", 11, 7, 16, ctype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(_filter_rows_bytes(rows_bytes, 2 * ch, ft)))
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(png)
+        assert got is not None, ft
+        assert got.shape == img16.shape
+        assert (got == (img16 >> 8).astype(np.uint8)).all(), f"filter {ft}"
+
+
+def test_png_adam7_decode_scatters_passes():
+    """Adam7: seven independently-filtered pass sub-images must scatter back
+    byte-exactly, including image sizes where some passes are empty."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    rng = np.random.RandomState(37)
+    for w, h, ch in [(19, 13, 3), (8, 8, 1), (3, 2, 4), (1, 1, 1), (16, 5, 2)]:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        parts = []
+        for p_i, (x0, y0, dx, dy) in enumerate(adam7):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _filter_rows_bytes(sub.reshape(sub.shape[0], -1), ch, p_i % 5)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(png)
+        assert got is not None, (w, h, ch)
+        assert got.shape == img.shape
+        assert (got == img).all(), (w, h, ch)
+
+
+def test_png_sub8bit_depth_returns_none():
+    """Packed 1/2/4-bit depths stay unsupported → None (hash fallback)."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(png) is None
