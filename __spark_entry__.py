@@ -277,6 +277,41 @@ def _png_fixture(n_images: int = 20):
                 "mean_px": round(float(img.mean()), 6),
             }
         )
+
+    # palette + tRNS (r5): per-index alpha expands to RGBA; the second
+    # image's alpha table is SHORTER than the palette (trailing indices
+    # opaque 255 per spec)
+    for k in range(2):
+        i = n_images + 15 + k
+        rng = np.random.RandomState(5000 + k)
+        w, h = 9 + k, 6 + k
+        n_colors = 8 + 4 * k
+        pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        n_alpha = n_colors if k == 0 else n_colors - 5
+        alpha_tbl = rng.randint(0, 256, size=n_alpha, dtype=np.uint8)
+        idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"tRNS", alpha_tbl.tobytes())
+            + chunk(b"IDAT", zlib.compress(enc_rows(idx.reshape(h, w), 1, k % 5)))
+            + chunk(b"IEND", b"")
+        )
+        full_alpha = np.full(n_colors, 255, dtype=np.uint8)
+        full_alpha[:n_alpha] = alpha_tbl
+        expanded = np.dstack([pal[idx], full_alpha[idx]])
+        rows.append(
+            {
+                "img_id": i,
+                "png": png,
+                "width": w,
+                "height": h,
+                "channels": 4,
+                "mean_px": round(float(expanded.mean()), 6),
+            }
+        )
     return rows
 
 
@@ -639,10 +674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Distributed PNG pixel decode over a binary column (the multimodal
         plumbing pattern: opaque bytes + Arrow-batched mapInPandas, numpy
         decode per payload, typed metadata out). Input is the deterministic
-        in-repo PNG fixture — 35 images: all 5 filter types × 4 color
+        in-repo PNG fixture — 37 images: all 5 filter types × 4 color
         types, 5 PALETTE (color type 3, PLTE-expanded), 5 16-BIT (filter
-        bpp = 2×channels, high-byte downscale) and 5 ADAM7-interlaced
-        (per-pass filtering incl. empty passes — r5), ENCODED from seeded
+        bpp = 2×channels, high-byte downscale), 5 ADAM7-interlaced
+        (per-pass filtering incl. empty passes) and 2 PALETTE+tRNS
+        (per-index alpha → RGBA, short-table opaque tail — r5),
+        ENCODED from seeded
         raw arrays; the oracle is the per-image pixel mean of those RAW
         arrays as literals, so the row checks encode→decode round-trip
         fidelity end to end on the cluster path."""

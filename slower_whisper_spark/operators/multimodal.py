@@ -234,8 +234,8 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             or not h
         ):
             return None
-        # chunk walk: concatenate every IDAT payload (+ grab PLTE)
-        idat, plte, i = [], None, 8
+        # chunk walk: concatenate every IDAT payload (+ grab PLTE/tRNS)
+        idat, plte, trns, i = [], None, None, 8
         while i + 8 <= len(b):
             clen = struct.unpack(">I", b[i : i + 4])[0]
             cid = b[i + 4 : i + 8]
@@ -243,6 +243,8 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
                 idat.append(b[i + 8 : i + 8 + clen])
             elif cid == b"PLTE":
                 plte = b[i + 8 : i + 8 + clen]
+            elif cid == b"tRNS":
+                trns = b[i + 8 : i + 8 + clen]
             if cid == b"IEND":
                 break
             i += 12 + clen  # len + type + data + crc
@@ -275,9 +277,16 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
         out = img.reshape(h, w * bpp)
     if ctype == 3:
         # palette expansion: one vectorized take on the un-filtered index
-        # plane; out-of-range indices clamp (decoders commonly tolerate)
+        # plane; out-of-range indices clamp (decoders commonly tolerate).
+        # A tRNS chunk adds per-index alpha (entries beyond the table are
+        # opaque 255 per spec) -> RGBA; without tRNS the result stays RGB.
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = np.minimum(out.reshape(h, w), len(pal) - 1)
+        if trns is not None and len(trns):
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            a = np.frombuffer(trns[: len(pal)], dtype=np.uint8)
+            alpha[: len(a)] = a
+            return np.dstack([pal[idx], alpha[idx]])  # (h, w, 4) uint8
         return pal[idx]  # (h, w, 3) uint8
     if depth == 16:
         # big-endian sample pairs → high byte (exactly val >> 8)

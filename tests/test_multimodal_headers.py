@@ -377,3 +377,28 @@ def test_png_sub8bit_depth_returns_none():
         + _chunk(b"IEND", b"")
     )
     assert decode_png_pixels(png) is None
+
+
+def test_png_palette_trns_expands_rgba():
+    """tRNS on a palette image adds per-index alpha → RGBA; a tRNS table
+    shorter than the palette leaves trailing indices opaque (255)."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(41)
+    pal = rng.randint(0, 256, size=(10, 3), dtype=np.uint8)
+    alpha_tbl = rng.randint(0, 256, size=6, dtype=np.uint8)  # shorter
+    idx = rng.randint(0, 10, size=(5, 8)).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 8, 5, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"tRNS", alpha_tbl.tobytes())
+        + _chunk(b"IDAT", zlib.compress(_filter_rows_bytes(idx.reshape(5, 8), 1, 2)))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got is not None and got.shape == (5, 8, 4)
+    full_alpha = np.concatenate([alpha_tbl, np.full(4, 255, dtype=np.uint8)])
+    assert (got[..., :3] == pal[idx]).all()
+    assert (got[..., 3] == full_alpha[idx]).all()
