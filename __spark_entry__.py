@@ -312,6 +312,82 @@ def _png_fixture(n_images: int = 20):
                 "mean_px": round(float(expanded.mean()), 6),
             }
         )
+
+    # sub-8-bit packed depths (r5): 1/2/4-bit gray + packed palette; the
+    # last image is 2-bit gray with ADAM7. Samples pack MSB-first, filter
+    # bpp=1 over the packed bytes; gray expectation uses the exact
+    # 255/(2^d−1) scale the decoder applies
+    def pack_sub(vals, depth):
+        per = 8 // depth
+        hh, ww = vals.shape
+        nb = (ww * depth + 7) // 8
+        padded = np.zeros((hh, nb * per), dtype=np.uint16)
+        padded[:, :ww] = vals
+        shifts = np.arange(per - 1, -1, -1) * depth
+        return (padded.reshape(hh, nb, per) << shifts).sum(axis=2).astype(np.uint8)
+
+    for k, (depth, ptype) in enumerate([(1, 0), (2, 0), (4, 0), (4, 3), (2, 3)]):
+        i = n_images + 17 + k
+        rng = np.random.RandomState(6000 + k)
+        w, h = 13 + k, 6 + (k % 3)
+        filt = k % 5
+        if ptype == 0:
+            vals = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8)
+            extra, ch = b"", 1
+            expected_mean = float((vals * (255 // ((1 << depth) - 1))).mean())
+        else:
+            n_colors = 1 << depth
+            pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+            vals = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+            extra, ch = chunk(b"PLTE", pal.tobytes()), 3
+            expected_mean = float(pal[vals].mean())
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ptype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + extra
+            + chunk(b"IDAT", zlib.compress(enc_rows(pack_sub(vals, depth), 1, filt)))
+            + chunk(b"IEND", b"")
+        )
+        rows.append(
+            {
+                "img_id": i,
+                "png": png,
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "mean_px": round(expected_mean, 6),
+            }
+        )
+
+    # packed + Adam7 combined
+    i = n_images + 22
+    rng = np.random.RandomState(6100)
+    w, h = 17, 11
+    vals = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    parts = []
+    for p_i, (x0, y0, dx, dy) in enumerate(adam7):
+        sub = vals[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(enc_rows(pack_sub(sub, 2), 1, p_i % 5))
+    ihdr = struct.pack(">IIBBBBB", w, h, 2, 0, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+    rows.append(
+        {
+            "img_id": i,
+            "png": png,
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "mean_px": round(float((vals * 85).mean()), 6),
+        }
+    )
     return rows
 
 
@@ -674,11 +750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Distributed PNG pixel decode over a binary column (the multimodal
         plumbing pattern: opaque bytes + Arrow-batched mapInPandas, numpy
         decode per payload, typed metadata out). Input is the deterministic
-        in-repo PNG fixture — 37 images: all 5 filter types × 4 color
+        in-repo PNG fixture — 43 images: all 5 filter types × 4 color
         types, 5 PALETTE (color type 3, PLTE-expanded), 5 16-BIT (filter
         bpp = 2×channels, high-byte downscale), 5 ADAM7-interlaced
-        (per-pass filtering incl. empty passes) and 2 PALETTE+tRNS
-        (per-index alpha → RGBA, short-table opaque tail — r5),
+        (per-pass filtering incl. empty passes), 2 PALETTE+tRNS
+        (per-index alpha → RGBA, short-table opaque tail) and 6 SUB-8-BIT
+        packed (1/2/4-bit gray + packed palette + packed Adam7 — r5),
         ENCODED from seeded
         raw arrays; the oracle is the per-image pixel mean of those RAW
         arrays as literals, so the row checks encode→decode round-trip

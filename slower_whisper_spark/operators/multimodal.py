@@ -198,6 +198,16 @@ def _unfilter_rows(raw: bytes, pos: int, width: int, height: int, bpp: int):
     return out, pos
 
 
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Unpack sub-8-bit samples (MSB-first within each byte, per spec) from
+    un-filtered packed scanlines: (h, row_bytes) uint8 → (h, w) uint8
+    sample values. One broadcasted shift-and-mask — fully vectorized."""
+    per = 8 // depth
+    shifts = (np.arange(per - 1, -1, -1) * depth).astype(np.uint8)
+    vals = (rows[:, :, None] >> shifts) & ((1 << depth) - 1)
+    return vals.reshape(rows.shape[0], -1)[:, :w].astype(np.uint8)
+
+
 def decode_png_pixels(b: bytes) -> np.ndarray | None:
     """REAL PNG pixel decode with nothing but stdlib zlib + numpy: IDAT
     chunks concatenate to one zlib stream; scanlines un-filter per the PNG
@@ -212,10 +222,12 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     (filtering happens at byte granularity with bpp = 2×channels; samples
     downscale to 8-bit by their high byte, exactly val >> 8), and ADAM7
     interlacing (seven independently-filtered sub-images scattered back on
-    the pass grid with strided numpy assignment). Sub-8-bit packed depths
-    (1/2/4) return None (caller falls back to the hash feature,
-    documented). Returns (height, width, channels) uint8. A production
-    pipeline swaps in a codec library behind the same decoder tier."""
+    the pass grid with strided numpy assignment), and SUB-8-BIT packed
+    depths (1/2/4, gray or palette per spec: samples unpack MSB-first via
+    one broadcasted shift-and-mask; gray levels scale to 8-bit by the
+    exact 255/(2^d−1) factor, palette indices feed the same PLTE take).
+    Returns (height, width, channels) uint8. A production pipeline swaps
+    in a codec library behind the same decoder tier."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     try:
@@ -225,8 +237,10 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
         # filter bpp for palette images is 1 per spec, so the un-filter
         # loop works unchanged on the index plane
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        packed = depth in (1, 2, 4)
         if (
-            depth not in (8, 16)
+            depth not in (1, 2, 4, 8, 16)
+            or (packed and ctype not in (0, 3))  # sub-8-bit: gray/palette only
             or (depth == 16 and ctype == 3)  # no 16-bit palette in the spec
             or interlace not in (0, 1)
             or channels is None
@@ -253,15 +267,20 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             return None
     except (struct.error, IndexError, zlib.error):
         return None
-    bpp = channels * (2 if depth == 16 else 1)
+    # packed depths filter at byte granularity with bpp=1 (the spec's
+    # bpp = ceil(depth*channels/8)); scanlines hold ceil(w*depth/8) bytes
+    # that unpack to w samples after un-filtering
+    bpp = 1 if packed else channels * (2 if depth == 16 else 1)
     if interlace == 0:
-        res = _unfilter_rows(raw, 0, w, h, bpp)
+        nb = (w * depth + 7) // 8 if packed else w
+        res = _unfilter_rows(raw, 0, nb, h, bpp)
         if res is None:
             return None
-        out = res[0]
+        out = _unpack_subbyte(res[0], w, depth) if packed else res[0]
     else:
         # Adam7: each pass is its own sub-image with its own scanlines and
-        # filter history; decoded pixels scatter back via strided indexing
+        # filter history (packed passes pack per-PASS row bytes); decoded
+        # pixels scatter back via strided indexing
         img = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -269,10 +288,13 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # pass empty at this image size
                 continue
-            res = _unfilter_rows(raw, pos, pw, ph, bpp)
+            nb = (pw * depth + 7) // 8 if packed else pw
+            res = _unfilter_rows(raw, pos, nb, ph, bpp)
             if res is None:
                 return None
             sub, pos = res
+            if packed:
+                sub = _unpack_subbyte(sub, pw, depth)
             img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         out = img.reshape(h, w * bpp)
     if ctype == 3:
@@ -288,6 +310,10 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
             alpha[: len(a)] = a
             return np.dstack([pal[idx], alpha[idx]])  # (h, w, 4) uint8
         return pal[idx]  # (h, w, 3) uint8
+    if packed:
+        # sub-8-bit grayscale: scale to full range by exactly 255/(2^d−1)
+        # (an integer: 255, 85, or 17 — max sample lands on 255, no overflow)
+        return (out.reshape(h, w, 1) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if depth == 16:
         # big-endian sample pairs → high byte (exactly val >> 8)
         return np.ascontiguousarray(out.reshape(h, w, channels, 2)[..., 0])

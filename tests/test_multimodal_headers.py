@@ -365,18 +365,112 @@ def test_png_adam7_decode_scatters_passes():
         assert (got == img).all(), (w, h, ch)
 
 
-def test_png_sub8bit_depth_returns_none():
-    """Packed 1/2/4-bit depths stay unsupported → None (hash fallback)."""
+def _pack_subbyte_rows(vals, depth):
+    """Pack (h, w) sample values into PNG packed scanlines, MSB-first:
+    → (h, ceil(w*depth/8)) uint8 with zero-padded trailing bits."""
+    per = 8 // depth
+    h, w = vals.shape
+    nb = (w * depth + 7) // 8
+    padded = np.zeros((h, nb * per), dtype=np.uint16)
+    padded[:, :w] = vals
+    shifts = np.arange(per - 1, -1, -1) * depth
+    return (padded.reshape(h, nb, per) << shifts).sum(axis=2).astype(np.uint8)
+
+
+def test_png_packed_gray_decodes_scaled():
+    """1/2/4-bit grayscale: packed samples unpack MSB-first and scale to
+    8-bit by exactly 255/(2^d−1), across every filter type (bpp=1)."""
     from slower_whisper_spark.operators.multimodal import decode_png_pixels
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    rng = np.random.RandomState(43)
+    for depth, ft in [(1, 0), (1, 2), (2, 1), (2, 4), (4, 3), (4, 4)]:
+        w, h = 13, 6  # odd width: every depth leaves padding bits in the last byte
+        vals = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8)
+        packed = _pack_subbyte_rows(vals, depth)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(_filter_rows_bytes(packed, 1, ft)))
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(png)
+        assert got is not None, (depth, ft)
+        assert got.shape == (h, w, 1)
+        scale = 255 // ((1 << depth) - 1)
+        assert (got[..., 0] == vals * scale).all(), (depth, ft)
+
+
+def test_png_packed_palette_indices():
+    """4-bit palette: packed indices unpack then expand through PLTE; with
+    tRNS they expand to RGBA exactly like the 8-bit palette path."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(47)
+    pal = rng.randint(0, 256, size=(13, 3), dtype=np.uint8)
+    idx = rng.randint(0, 13, size=(7, 9)).astype(np.uint8)
+    packed = _pack_subbyte_rows(idx, 4)
+    ihdr = struct.pack(">IIBBBBB", 9, 7, 4, 3, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    idat = _chunk(b"IDAT", zlib.compress(_filter_rows_bytes(packed, 1, 1)))
+    got = decode_png_pixels(b"\x89PNG\r\n\x1a\n" + body + idat + _chunk(b"IEND", b""))
+    assert got is not None and got.shape == (7, 9, 3)
+    assert (got == pal[idx]).all()
+    # same image + tRNS → RGBA
+    alpha_tbl = rng.randint(0, 256, size=5, dtype=np.uint8)
+    got2 = decode_png_pixels(
+        b"\x89PNG\r\n\x1a\n" + body + _chunk(b"tRNS", alpha_tbl.tobytes()) + idat
+        + _chunk(b"IEND", b"")
+    )
+    assert got2 is not None and got2.shape == (7, 9, 4)
+    full_alpha = np.concatenate([alpha_tbl, np.full(8, 255, dtype=np.uint8)])
+    assert (got2[..., 3] == full_alpha[idx]).all()
+
+
+def test_png_packed_adam7_scatters():
+    """2-bit gray + Adam7: per-pass packed row bytes un-filter and unpack
+    independently, then scatter on the pass grid."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    rng = np.random.RandomState(53)
+    w, h = 17, 11
+    vals = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    parts = []
+    for p_i, (x0, y0, dx, dy) in enumerate(adam7):
+        sub = vals[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_filter_rows_bytes(_pack_subbyte_rows(sub, 2), 1, p_i % 5))
+    ihdr = struct.pack(">IIBBBBB", w, h, 2, 0, 0, 0, 1)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png_pixels(png) is None
+    got = decode_png_pixels(png)
+    assert got is not None and got.shape == (h, w, 1)
+    assert (got[..., 0] == vals * 85).all()
+
+
+def test_png_invalid_depth_combos_return_none():
+    """Depth 3 (not in the spec) and packed RGB (depth 4 + color type 2)
+    must reject → None (hash fallback)."""
+    from slower_whisper_spark.operators.multimodal import decode_png_pixels
+
+    for depth, ctype in [(3, 0), (4, 2), (2, 6), (1, 4)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png_pixels(png) is None, (depth, ctype)
 
 
 def test_png_palette_trns_expands_rgba():
