@@ -391,6 +391,127 @@ def _png_fixture(n_images: int = 20):
     return rows
 
 
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Reference GIF-LZW encoder (fixture/oracle side only — the package
+    decoder never sees it): greedy string table, CLEAR first, code width
+    bumps after adding entry index 2^width (the standard timing), table
+    reset at 4096. LSB-first bit packing per spec."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {bytes([v]): v for v in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emitted = [(clear, width)]
+    s = b""
+    for ch in indices:
+        c = bytes([ch])
+        if s + c in table:
+            s += c
+            continue
+        emitted.append((table[s], width))
+        table[s + c] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emitted.append((clear, width))
+            table, next_code, width = fresh()
+        s = c
+    if s:
+        emitted.append((table[s], width))
+    emitted.append((eoi, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, wd in emitted:
+        acc |= code << bits
+        bits += wd
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_fixture(n_images: int = 10):
+    """Deterministic in-repo GIF corpus: seeded index planes LZW-encoded by
+    the reference encoder above into real GIF87a/89a containers — global
+    and LOCAL color tables, the 4-pass row INTERLACE, GIF89a TRANSPARENCY
+    (GCE transparent index → expected RGBA), palette sizes 4..256 (code
+    width growth through the full 3→12-bit range on the largest image,
+    including a 4096-table reset). Expected (width/height/channels/mean)
+    come from the RAW palette-expanded arrays, never from the decoder."""
+    import struct
+
+    import numpy as np
+
+    def sub_blocks(data: bytes) -> bytes:
+        out = bytearray()
+        for off in range(0, len(data), 255):
+            blk = data[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+        return bytes(out)
+
+    rows = []
+    for k in range(n_images):
+        rng = np.random.RandomState(7000 + k)
+        nbits = [2, 2, 3, 4, 5, 6, 7, 8, 3, 8][k]  # palette 4..256 entries
+        n_colors = 1 << nbits
+        w = 9 + 7 * k
+        h = 6 + 5 * k
+        if k == n_images - 1:
+            w, h = 80, 60  # big enough to grow LZW width to 12 + reset
+        pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+        interlaced = k % 3 == 1
+        transparent = (7000 + k) % 2 == 1 and k % 3 != 2
+        local_ct = k % 4 == 3
+        mcs = max(2, nbits)
+        if interlaced:
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in [(0, 8), (4, 8), (2, 4), (1, 2)]]
+            )
+            stream = idx[order].tobytes()
+        else:
+            stream = idx.tobytes()
+        gflags = (0 if local_ct else 0x80) | (nbits - 1)
+        gif = bytearray(
+            (b"GIF87a" if k % 5 == 0 and not transparent else b"GIF89a")
+            + struct.pack("<HHBBB", w, h, gflags, 0, 0)
+        )
+        if not local_ct:
+            gif += pal.tobytes()
+        t_idx = int(idx.max())  # an index that occurs, so alpha affects mean
+        if transparent:
+            gif += b"\x21\xf9\x04" + bytes([0x01, 0, 0, t_idx]) + b"\x00"
+        iflags = (0x80 | (nbits - 1) if local_ct else 0) | (0x40 if interlaced else 0)
+        gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+        if local_ct:
+            gif += pal.tobytes()
+        gif += bytes([mcs]) + sub_blocks(_gif_lzw_encode(stream, mcs)) + b"\x3b"
+        if transparent:
+            alpha = np.full(n_colors, 255, dtype=np.uint8)
+            alpha[t_idx] = 0
+            expanded = np.dstack([pal[idx], alpha[idx]])
+        else:
+            expanded = pal[idx]
+        rows.append(
+            {
+                "img_id": k,
+                "gif": bytes(gif),
+                "width": w,
+                "height": h,
+                "channels": expanded.shape[2],
+                "mean_px": round(float(expanded.mean()), 6),
+            }
+        )
+    return rows
+
+
 def _kll_doc_baseline(sf_dir: str, n_buckets: int = 8):
     key = (sf_dir, n_buckets)
     if key not in _KLL_BASELINE_CACHE:
@@ -797,6 +918,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("img_id")
 
     q["png_decode"] = q_png_decode
+
+    def q_gif_decode(spark, sf):
+        """Distributed GIF pixel decode over a binary column — same
+        mapInPandas plumbing as png_decode but the codec is a pure-Python
+        GIF-LZW decoder (operators/multimodal.py: decode_gif_pixels),
+        validated against real-world GIFs from independent encoders.
+        Input is the deterministic in-repo fixture — 10 GIFs covering
+        global/local color tables, the 4-pass interlace, GIF89a
+        transparency (→ RGBA), palette sizes 4..256 with LZW code width
+        growth to the 12-bit cap and a 4096-table reset; the oracle is
+        the per-image mean of the RAW palette-expanded arrays as
+        literals, so the row checks encode→decode round-trip fidelity on
+        the cluster path."""
+        import pandas as pd
+
+        from slower_whisper_spark.operators.multimodal import decode_gif_pixels
+
+        rows = _gif_fixture()
+        df = spark.createDataFrame(
+            [(r["img_id"], bytearray(r["gif"])) for r in rows],
+            "img_id long, gif binary",
+        ).repartition(4, "img_id")
+
+        cols = ["img_id", "width", "height", "channels", "mean_px"]
+
+        def decode(batches):
+            for pdf in batches:
+                out = []
+                for img_id, gif in zip(pdf["img_id"], pdf["gif"]):
+                    px = decode_gif_pixels(bytes(gif))
+                    if px is None:
+                        out.append((int(img_id), None, None, None, None))
+                        continue
+                    out.append(
+                        (
+                            int(img_id),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.shape[2]),
+                            round(float(px.mean()), 6),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=cols)
+
+        return df.mapInPandas(
+            decode,
+            "img_id long, width long, height long, channels long, mean_px double",
+        ).orderBy("img_id")
+
+    q["gif_decode"] = q_gif_decode
 
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
@@ -1828,11 +1999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     conditional_verdicts, median_by_group, categorical_distribution,
     #     unique_check, dup_key_counts, cross_field_join, top_customers,
     #     shipping_priority — all inside the first 50 again in r5.
-    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 13
+    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 14
     #     parked because ann_ivf_partitioned + ivf_train_distributed +
-    #     turn_lifecycle_batch joined the window): the set below. r6 must
-    #     swap THESE back in and park a different green-in-r5 set.
+    #     turn_lifecycle_batch + gif_decode joined the window): the set
+    #     below. r6 must swap THESE back in and park a different
+    #     green-in-r5 set.
     _TAIL_R5 = [
+        "langid_heuristic",
         "hash_invariant",
         "sessionize",
         "adjacent_gaps",
@@ -1975,6 +2148,23 @@ def _png_decode_oracle() -> str:
     """Expected decode output as literals computed from the RAW pixel arrays
     (the encoder's input) — the oracle side never runs the decoder."""
     rows = _png_fixture()
+    vals = ",\n      ".join(
+        f"({r['img_id']}, {r['width']}, {r['height']}, {r['channels']}, {r['mean_px']!r})"
+        for r in rows
+    )
+    return f"""
+    SELECT img_id::BIGINT AS img_id, width::BIGINT AS width,
+           height::BIGINT AS height, channels::BIGINT AS channels,
+           mean_px::DOUBLE AS mean_px
+    FROM (VALUES {vals}) AS t(img_id, width, height, channels, mean_px)
+    ORDER BY img_id
+    """
+
+
+def _gif_decode_oracle() -> str:
+    """Expected GIF decode output as literals from the RAW palette-expanded
+    arrays (the encoder's input) — the oracle side never runs the decoder."""
+    rows = _gif_fixture()
     vals = ",\n      ".join(
         f"({r['img_id']}, {r['width']}, {r['height']}, {r['channels']}, {r['mean_px']!r})"
         for r in rows
@@ -2276,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kll_drift_psi": _kll_drift_oracle(),
         "png_decode": _png_decode_oracle(),
+        "gif_decode": _gif_decode_oracle(),
         "nation_volume": """
             SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
             FROM (

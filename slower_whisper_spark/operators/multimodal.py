@@ -13,10 +13,13 @@ stdlib + numpy):
   dimensions parsed from the actual container headers (IHDR, SOF marker
   scan, logical-screen descriptor, BITMAPINFOHEADER) and WAV
   channels/sample-rate/duration from the RIFF fmt/data chunks. Features are
-  real where the payload is raw: PCM RMS/zero-crossings for WAV, per-band
-  pixel stats for uncompressed 24-bit BMP; compressed pixel data
-  (PNG/JPEG/GIF) falls back to a content-hash feature, documented — full
-  bitmap decode needs a codec library.
+  real where the payload is decodable with stdlib + numpy: PCM
+  RMS/zero-crossings for WAV, per-band pixel stats for uncompressed 24-bit
+  BMP, full PNG pixel decode (zlib + per-spec un-filtering, see
+  decode_png_pixels) and full GIF pixel decode (pure-Python LZW, see
+  decode_gif_pixels); JPEG falls back to a content-hash feature,
+  documented — its Huffman/DCT entropy coding is where a codec library
+  would slot in.
 * ``decoder="fake"`` — deterministic stub (stable synthetic dims/features),
   for plumbing tests.
 * ``decoder="pillow"``/``"ffmpeg"`` — raise NotImplementedError until the
@@ -320,10 +323,141 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     return out.reshape(h, w, channels)
 
 
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray | None:
+    """GIF-variant LZW decode (pure stdlib): LSB-first bit packing, CLEAR /
+    EOI codes at 2^mcs / 2^mcs+1, code width grows from mcs+1 up to the
+    12-bit cap when the next free slot reaches 2^width (the timing that
+    keeps encoder and decoder in sync — see test worked example), table
+    frozen at 4096 entries until a CLEAR. Returns decoded index bytes, or
+    None on a corrupt stream (non-literal first code, out-of-range code)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], mcs + 1
+
+    table, width = fresh()
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table, width = fresh()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= clear:  # first code after clear must be a literal
+                    return None
+                prev = table[code]
+                out += prev
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK special case
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+# GIF interlace pass row strides: (start_row, step) in pass order
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif_pixels(b: bytes) -> np.ndarray | None:
+    """REAL GIF pixel decode with nothing but stdlib + numpy: LZW
+    decompression (see _gif_lzw_decode), global/local color table, the
+    4-pass row interlace, and GIF89a transparency (a Graphic Control
+    Extension's transparent index → RGBA with alpha 0 at that index,
+    mirroring the PNG tRNS contract; otherwise RGB). Decodes the FIRST
+    image descriptor (for animations that is frame 1 — the common
+    training-data case) cropped/placed on the logical screen is NOT
+    simulated: the frame's own (w, h) is returned. Returns
+    (height, width, 3|4) uint8 or None on corrupt/truncated input."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    try:
+        flags = b[10]
+        gct = None
+        i = 13
+        if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        transparent = None
+        while i < len(b):
+            marker = b[i]
+            if marker == 0x3B:  # trailer
+                return None
+            if marker == 0x21:  # extension: label + sub-blocks
+                label = b[i + 1]
+                j = i + 2
+                if label == 0xF9 and b[j] >= 4 and (b[j + 1] & 0x01):
+                    transparent = b[j + 4]  # GCE with transparency flag
+                while b[j]:  # skip sub-blocks to the 0 terminator
+                    j += 1 + b[j]
+                i = j + 1
+                continue
+            if marker != 0x2C:  # not an image descriptor → corrupt
+                return None
+            w, h = struct.unpack("<HH", b[i + 5 : i + 9])
+            iflags = b[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:  # local color table overrides
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None or not w or not h:
+                return None
+            mcs = b[i]
+            i += 1
+            parts = []
+            while i < len(b) and b[i]:  # data sub-blocks
+                parts.append(b[i + 1 : i + 1 + b[i]])
+                i += 1 + b[i]
+            idx_bytes = _gif_lzw_decode(b"".join(parts), mcs)
+            if idx_bytes is None or len(idx_bytes) < w * h:
+                return None
+            idx = np.frombuffer(bytes(idx_bytes[: w * h]), dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                deinter = np.zeros_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    n_rows = len(range(start, h, step))
+                    deinter[start::step] = idx[src : src + n_rows]
+                    src += n_rows
+                idx = deinter
+            idx = np.minimum(idx, len(pal) - 1)
+            if transparent is not None:
+                alpha = np.full(len(pal), 255, dtype=np.uint8)
+                if transparent < len(pal):
+                    alpha[transparent] = 0
+                return np.dstack([pal[idx], alpha[idx]])  # (h, w, 4)
+            return pal[idx]  # (h, w, 3)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
     """Real features where the payload is decodable without a codec library
-    (WAV PCM, raw BMP, zlib-compressed PNG); hash-fallback for the rest
-    (JPEG/GIF entropy coding genuinely needs codecs)."""
+    (WAV PCM, raw BMP, zlib-compressed PNG, LZW-compressed GIF);
+    hash-fallback for the rest (JPEG's Huffman/DCT genuinely needs a
+    codec)."""
     if meta["format"] == "wav":
         i, data = 12, None
         while i + 8 <= len(b):
@@ -341,8 +475,8 @@ def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
                 mean = float(np.mean(s) / 32768.0)
                 base = [rms, zc, peak, mean]
                 return (base + [0.0] * dim)[:dim]
-    if meta["format"] == "png":
-        px = decode_png_pixels(b)
+    if meta["format"] in ("png", "gif"):
+        px = decode_png_pixels(b) if meta["format"] == "png" else decode_gif_pixels(b)
         if px is not None:
             flat = px.reshape(-1, px.shape[2]).astype(np.float64) / 255.0
             means, stds = flat.mean(axis=0), flat.std(axis=0)

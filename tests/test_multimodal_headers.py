@@ -496,3 +496,98 @@ def test_png_palette_trns_expands_rgba():
     full_alpha = np.concatenate([alpha_tbl, np.full(4, 255, dtype=np.uint8)])
     assert (got[..., :3] == pal[idx]).all()
     assert (got[..., 3] == full_alpha[idx]).all()
+
+
+# --------------------------------------------------------------------- #
+# GIF pixel decode (pure-Python LZW)
+# --------------------------------------------------------------------- #
+def test_gif_fixture_roundtrip_all_variants():
+    """Every fixture GIF (global/local color table, interlace, GIF89a
+    transparency, palette 4..256 with LZW width growth to 12 bits + a
+    4096-table reset on the largest image) decodes to the raw array's
+    exact shape and mean."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.multimodal import decode_gif_pixels
+
+    rows = em._gif_fixture()
+    assert len(rows) == 10
+    for r in rows:
+        px = decode_gif_pixels(r["gif"])
+        assert px is not None, r["img_id"]
+        assert px.shape == (r["height"], r["width"], r["channels"]), r["img_id"]
+        assert round(float(px.mean()), 6) == r["mean_px"], r["img_id"]
+
+
+def test_gif_exact_pixels_and_transparency():
+    """Non-interlaced GIF with a GCE transparent index decodes to the exact
+    palette expansion with alpha 0 only at that index."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(61)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(9, 13)).astype(np.uint8)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 13, 9, 0x80 | 2, 0, 0)
+        + pal.tobytes()
+        + b"\x21\xf9\x04" + bytes([0x01, 0, 0, 5]) + b"\x00"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 13, 9) + b"\x00"
+        + bytes([3])
+    )
+    lzw = em._gif_lzw_encode(idx.tobytes(), 3)
+    gif += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    got = decode_gif_pixels(gif)
+    assert got is not None and got.shape == (9, 13, 4)
+    assert (got[..., :3] == pal[idx]).all()
+    assert (got[..., 3] == np.where(idx == 5, 0, 255)).all()
+
+
+def test_gif_interlaced_exact_pixels():
+    """The 4-pass row interlace must de-interlace byte-exactly."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(67)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(11, 7)).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(s, 11, st) for s, st in [(0, 8), (4, 8), (2, 4), (1, 2)]]
+    )
+    gif = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 7, 11, 0x80 | 3, 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 7, 11) + bytes([0x40])
+        + bytes([4])
+    )
+    lzw = em._gif_lzw_encode(idx[order].tobytes(), 4)
+    gif += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    got = decode_gif_pixels(gif)
+    assert got is not None and got.shape == (11, 7, 3)
+    assert (got == pal[idx]).all()
+
+
+def test_gif_corrupt_streams_return_none():
+    """Out-of-range LZW codes, short pixel streams, and truncated
+    containers must reject → None (hash fallback path)."""
+    from slower_whisper_spark.operators.multimodal import decode_gif_pixels
+
+    pal = bytes(12)  # 4 black entries
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+    # LZW stream whose first code after CLEAR is not a literal:
+    # mcs=2 → clear=4, width=3; codes [4, 6] pack to 0b..110_100
+    bad = head + desc + bytes([2, 2, 0b00110100, 0b00000000, 0]) + b"\x3b"
+    assert decode_gif_pixels(bad) is None
+    # valid LZW but too few pixels for 4x4
+    import __spark_entry__ as em
+
+    short = em._gif_lzw_encode(bytes([1, 2, 3]), 2)
+    too_short = head + desc + bytes([2, len(short)]) + short + b"\x00\x3b"
+    assert decode_gif_pixels(too_short) is None
+    # truncated before any image descriptor
+    assert decode_gif_pixels(head[:10]) is None
+    # no color table at all
+    no_ct = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + desc + b"\x02\x00\x3b"
+    assert decode_gif_pixels(no_ct) is None
