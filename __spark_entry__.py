@@ -1455,6 +1455,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = q_ngram_jaccard
 
+    def q_neardup_components(spark, sf):
+        """Near-dup CLUSTER FORMATION (r5): exact word-3-gram Jaccard pairs
+        (threshold 0.8, same pair set the ngram_jaccard row verifies) feed
+        connected-components — min-label propagation with pointer jumping,
+        O(log path) rounds, lineage cut per round (operators/dedup.py:
+        connected_components) — then every document gets its component id
+        and a keep/drop verdict (is_rep = it is the min id of its cluster).
+        This is the step that turns pairwise near-dup output into the
+        actual dedup decision a training-data pipeline executes. Oracle:
+        DuckDB recursive CTE computing the same transitive closure."""
+        from slower_whisper_spark.operators import jaccard_pairs, neardup_clusters
+
+        docs = _t(spark, sf, "documents")
+        pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.8, shingle_n=3)
+        return (
+            neardup_clusters(docs, pairs, id_col="doc_id")
+            .select("doc_id", "component", "is_rep")
+            .orderBy("doc_id")
+        )
+
+    q["neardup_components"] = q_neardup_components
+
     def q_minhash_neardup(spark, sf):
         """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8. 16 bands
         of 4 rows put the LSH knee at s≈0.42 — boilerplate-similarity pairs
@@ -1999,12 +2021,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     conditional_verdicts, median_by_group, categorical_distribution,
     #     unique_check, dup_key_counts, cross_field_join, top_customers,
     #     shipping_priority — all inside the first 50 again in r5.
-    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 14
+    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 15
     #     parked because ann_ivf_partitioned + ivf_train_distributed +
-    #     turn_lifecycle_batch + gif_decode joined the window): the set
-    #     below. r6 must swap THESE back in and park a different
-    #     green-in-r5 set.
+    #     turn_lifecycle_batch + gif_decode + neardup_components joined
+    #     the window): the set below. r6 must swap THESE back in and park
+    #     a different green-in-r5 set.
     _TAIL_R5 = [
+        "keyword_extract",
         "langid_heuristic",
         "hash_invariant",
         "sessionize",
@@ -2036,8 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # minhash_neardup (16 bands × 4 rows: P(miss | s=0.8) ≈ 2.2e-4 per pair, and
 # jaccard-verification makes survivors exact — the oracle comparison itself
 # verifies the LSH output equals the exact pair set at the tested scale).
-_JACCARD_ORACLE = r"""
-    WITH norm AS (
+_JACCARD_CTES = r"""norm AS (
       SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
       FROM documents
@@ -2055,7 +2077,10 @@ _JACCARD_ORACLE = r"""
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_CTES}
     SELECT id_a, id_b,
            round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
     FROM pairs
@@ -2063,6 +2088,37 @@ _JACCARD_ORACLE = r"""
     JOIN sizes sb ON sb.doc_id = pairs.id_b
     WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
     ORDER BY id_a, id_b
+"""
+
+# Connected components over the SAME ≥0.8 Jaccard pair set, via a recursive
+# CTE: reach(node, comp) closes the symmetric edge relation, min reachable
+# id = the component representative; docs absent from any pair are their
+# own singleton component (LEFT JOIN + COALESCE).
+_NEARDUP_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    good AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = pairs.id_a
+      JOIN sizes sb ON sb.doc_id = pairs.id_b
+      WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM good
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM good
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS comp FROM e
+      UNION
+      SELECT e.a AS node, r.comp FROM e JOIN reach r ON r.node = e.b
+    )
+    SELECT d.doc_id::BIGINT AS doc_id,
+           COALESCE(m.comp, d.doc_id)::BIGINT AS component,
+           (COALESCE(m.comp, d.doc_id) = d.doc_id)::INT AS is_rep
+    FROM documents d
+    LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
+      ON m.node = d.doc_id
+    ORDER BY doc_id
 """
 
 # SimHash pairs with Hamming ≤ 3: recomputes the md5-derived fingerprints
@@ -2784,6 +2840,7 @@ def oracle_sql() -> dict[str, str]:
             FROM turns GROUP BY key, turn ORDER BY key, segment_id
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
+        "neardup_components": _NEARDUP_COMPONENTS_ORACLE,
         "minhash_neardup": _JACCARD_ORACLE,
         "simhash_neardup": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

@@ -486,3 +486,106 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------- #
+# near-dup cluster formation (pairs → connected components → canonical doc)
+# --------------------------------------------------------------------- #
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR set — the step that
+    turns pairwise similarity output (minhash/simhash/jaccard/embedding)
+    into dedup clusters with one canonical representative (min id) each.
+
+    Algorithm: min-label propagation with POINTER JUMPING. Every node
+    starts labeled with its own id; each round (a) takes the min label
+    over its graph neighbors (one hop), then (b) replaces its label with
+    its label's label (path halving). The jump step doubles the distance
+    labels travel per round, so a path of length L converges in O(log L)
+    rounds rather than O(L) — the property that matters when a 100 TB
+    near-dup graph chains boilerplate documents into long paths. Each
+    round is two shuffles on the node id (a groupBy-min and a self-join);
+    AQE handles skewed mega-components. Lineage is cut per round with an
+    eager ``localCheckpoint`` (on a production cluster, periodic reliable
+    checkpointing would back this), and convergence is detected by the
+    exact decimal sum of labels going stationary — labels only ever
+    decrease, so equal sums ⇔ fixpoint, one scalar aggregate per round
+    instead of a change-count join.
+
+    Returns (node, comp) with comp = min node id in the component —
+    deterministic for any partitioning or input order. Ref semantics
+    parity: the reference has no cluster-formation operator; this extends
+    its dedup surface (slower_whisper/dedup.rs pair emission) the way a
+    training-data pipeline consumes it.
+    """
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        hopped = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp")
+        )
+        jumped = (
+            hopped.alias("l")
+            .join(
+                hopped.select(
+                    F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+                ),
+                F.col("l.comp") == F.col("c_node"),
+                "left",
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(F.col("l.comp"), F.coalesce("c_comp", F.col("l.comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        # labels are monotonically non-increasing: a stationary exact sum
+        # (decimal — no int64 overflow at web scale) means fixpoint
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full cluster view over a corpus: every document, its component id
+    (itself when it has no near-dup), and whether it is the canonical
+    representative (min id in its component) — i.e. the keep/drop verdict
+    a dedup pipeline acts on."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("comp", "node").alias("component"),
+            (F.coalesce("comp", "node") == F.col("node")).cast("int").alias("is_rep"),
+        )
+    )

@@ -485,3 +485,72 @@ def test_cosine_pair_zero_norm_is_null(spark):
         emb, threshold=0.9, n_planes=2, n_tables=2, seed=1, dim=8, max_bucket_size=None
     ).toPandas()
     assert sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == [(1, 2)]
+
+
+def _uf_components(n_nodes_edges):
+    """Ground-truth union-find over an explicit edge list → {node: min-id}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_nodes_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Chains (pointer-jump path), cliques, stars, and cross-links must all
+    resolve to the union-find ground truth, for any input partitioning."""
+    from slower_whisper_spark.operators import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 30)]        # 21-node chain
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+        + [(200, 200 + k) for k in range(1, 7)]     # star
+        + [(29, 104), (206, 300)]                   # cross-links merge groups
+        + [(400, 401)]                              # tiny pair
+    )
+    want = _uf_components(edges)
+    for n_parts in (1, 7):
+        df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(n_parts)
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, max_iter=10).collect()
+        }
+        assert got == want, n_parts
+
+
+def test_neardup_clusters_keeps_isolated_docs(spark):
+    """Docs with no near-dup pair are their own singleton component and are
+    the representative; paired docs keep only the min id as rep."""
+    from slower_whisper_spark.operators import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["component"], r["is_rep"])
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (4, 1), 5: (1, 0),
+    }
+
+
+def test_connected_components_converges_fast_on_long_path(spark):
+    """A 200-node path must converge within ~log2(200)+2 rounds thanks to
+    pointer jumping (plain one-hop min propagation would need ~200)."""
+    from slower_whisper_spark.operators import connected_components
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, max_iter=12).agg(
+        {"comp": "max"}
+    ).collect()[0][0]
+    assert got == 0  # every node labeled with the path's min id
