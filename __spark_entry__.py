@@ -391,6 +391,281 @@ def _png_fixture(n_images: int = 20):
     return rows
 
 
+def _jpeg_fixture(n_images: int = 6):
+    """Deterministic in-repo baseline-JPEG corpus: seeded RGB/gray bitmaps
+    run through a reference encoder written HERE (FDCT → quantize →
+    Huffman with simple flat canonical tables → byte-stuffed bit stream,
+    all transported in real DQT/DHT/SOF0/SOS segments) — covering gray,
+    4:4:4, 4:2:0, 4:2:2, a restart-interval stream (DRI + RSTn, per-spec
+    DC reset), and a 16-bit-precision DQT. JPEG is lossy, so the expected
+    pixels are the RECONSTRUCTION defined by the encoder's own quantized
+    coefficients (dequantize → IDCT → clamp → upsample → YCbCr→RGB),
+    computed by an independent per-block implementation below — the
+    driver row then proves the package decoder recovers exactly what the
+    byte stream transports. The package decoder is additionally validated
+    against real-world JPEGs from independent encoders (session check)."""
+    import struct
+
+    import numpy as np
+
+    ZZ = np.array(
+        [
+            0, 1, 8, 16, 9, 2, 3, 10,
+            17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34,
+            27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36,
+            29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46,
+            53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+    )
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    T[0] /= np.sqrt(2.0)
+    # JPEG spec Annex K example quantization tables (row-major)
+    QL = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    )
+    QC = np.array(
+        [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+         24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+        + [99] * 32
+    )
+
+    # flat canonical Huffman tables: N symbols all at one code length L
+    # (valid while N < 2^L; codes are just the symbol's index)
+    def flat_table(symbols, length):
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        enc = {s: (i, length) for i, s in enumerate(symbols)}
+        return bytes(counts) + bytes(symbols), enc
+
+    DC_SYMS = list(range(12))
+    AC_SYMS = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    dc_seg, dc_enc = flat_table(DC_SYMS, 5)
+    ac_seg, ac_enc = flat_table(AC_SYMS, 9)
+
+    class BW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def write(self, val, nbits):
+            for k in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0x00)  # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def pad(self):
+            while self.n:
+                self.write(1, 1)  # pad with 1-bits per spec
+
+    def encode_block(bw, q_zz, pred, dce, ace):
+        diff = int(q_zz[0]) - pred
+        size = int(abs(diff)).bit_length()
+        code, ln = dce[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(q_zz)[0])) if np.any(q_zz[1:]) else 0
+        for k in range(1, last_nz + 1):
+            v = int(q_zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ace[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size = int(abs(v)).bit_length()
+            code, ln = ace[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ace[0x00]
+            bw.write(code, ln)
+        return int(q_zz[0])
+
+    def reconstruct_plane(tx_blocks, qt_zz, n_my, n_mx, v, h):
+        """Independent back-half: per-block dequantize → matrix IDCT →
+        clamp, looped block-by-block (different code path from the
+        package decoder's batched einsum)."""
+        grid = np.zeros((n_my * v * 8, n_mx * h * 8), dtype=np.uint8)
+        bi = 0
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for by in range(v):
+                    for bx in range(h):
+                        flat = np.zeros(64)
+                        flat[ZZ] = tx_blocks[bi] * qt_zz
+                        S = T.T @ flat.reshape(8, 8) @ T
+                        blk = np.clip(np.round(S + 128.0), 0, 255).astype(np.uint8)
+                        r0, c0 = (my * v + by) * 8, (mx * h + bx) * 8
+                        grid[r0 : r0 + 8, c0 : c0 + 8] = blk
+                        bi += 1
+        return grid
+
+    specs = [
+        # (ncomp, (samp per comp), restart, dqt_prec)
+        (1, [(1, 1)], 0, 0),
+        (3, [(1, 1), (1, 1), (1, 1)], 0, 0),
+        (3, [(2, 2), (1, 1), (1, 1)], 0, 0),
+        (3, [(2, 1), (1, 1), (1, 1)], 0, 0),
+        (3, [(2, 2), (1, 1), (1, 1)], 2, 0),
+        (3, [(1, 1), (1, 1), (1, 1)], 0, 1),
+    ]
+    rows = []
+    for k, (ncomp, samp, restart, prec16) in enumerate(specs[:n_images]):
+        rng = np.random.RandomState(8000 + k)
+        w, h = 19 + 6 * k, 13 + 5 * k  # never a multiple of the MCU size
+        max_h = max(s[0] for s in samp)
+        max_v = max(s[1] for s in samp)
+        n_mx, n_my = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+        # smooth-ish content (random low-frequency) so quantization keeps it
+        base = rng.randint(0, 256, size=(4, 4, 3)).astype(np.float64)
+        up = np.repeat(np.repeat(base, (h + 3) // 4, axis=0), (w + 3) // 4, axis=1)
+        img = np.clip(up[:h, :w] + rng.randint(-12, 13, size=(h, w, 3)), 0, 255)
+        if ncomp == 1:
+            y = np.round(
+                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+            )
+            planes = [np.clip(y, 0, 255).astype(np.uint8)]
+        else:
+            r, g, b = img[..., 0], img[..., 1], img[..., 2]
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            planes = [
+                np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (yy, cb, cr)
+            ]
+        # pad every plane to the full MCU grid (edge replicate), then
+        # downsample subsampled components by box mean
+        comp_planes = []
+        for ci, (sh, sv) in enumerate(samp):
+            ph, pw = n_my * max_v * 8, n_mx * max_h * 8
+            p = np.pad(
+                planes[ci].astype(np.float64),
+                ((0, ph - h), (0, pw - w)),
+                mode="edge",
+            )
+            fy, fx = max_v // sv, max_h // sh
+            if fy > 1 or fx > 1:
+                p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            comp_planes.append(np.clip(np.round(p), 0, 255).astype(np.uint8))
+        qts = [QL, QC]
+        qt_of = [0] + [1] * (ncomp - 1)
+        # quantize all blocks per component, MCU-major
+        tx = [[] for _ in range(ncomp)]
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for ci, (sh, sv) in enumerate(samp):
+                    q_rm = qts[qt_of[ci]].astype(np.float64)
+                    for by in range(sv):
+                        for bx in range(sh):
+                            r0, c0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                            blk = comp_planes[ci][r0 : r0 + 8, c0 : c0 + 8]
+                            C = T @ (blk.astype(np.float64) - 128.0) @ T.T
+                            q = np.round(C.flatten() / q_rm).astype(np.int32)
+                            tx[ci].append(q[ZZ])
+        # entropy-code interleaved MCUs with optional restart intervals
+        bw = BW()
+        preds = [0] * ncomp
+        idx = [0] * ncomp
+        n_mcus = n_my * n_mx
+        out_stream = bytearray()
+        rst = 0
+        for m in range(n_mcus):
+            if restart and m and m % restart == 0:
+                bw.pad()
+                out_stream += bw.buf + bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = BW()
+                preds = [0] * ncomp
+            for ci, (sh, sv) in enumerate(samp):
+                for _ in range(sh * sv):
+                    preds[ci] = encode_block(
+                        bw, tx[ci][idx[ci]], preds[ci], dc_enc, ac_enc
+                    )
+                    idx[ci] += 1
+        bw.pad()
+        out_stream += bw.buf
+        # container
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        if prec16:
+            dqt = b"".join(
+                bytes([0x10 | t]) + qts[t][ZZ].astype(">u2").tobytes()
+                for t in range(min(ncomp, 2))
+            )
+        else:
+            dqt = b"".join(
+                bytes([t]) + bytes(qts[t][ZZ].astype(np.uint8)) for t in range(min(ncomp, 2))
+            )
+        sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+            bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qt_of[ci]])
+            for ci in range(ncomp)
+        )
+        dht = b"".join(
+            bytes([cls << 4 | t]) + tbl
+            for t in range(min(ncomp, 2))
+            for cls, tbl in ((0, dc_seg), (1, ac_seg))
+        )
+        sos = bytes([ncomp]) + b"".join(
+            bytes([ci + 1, (min(ci, 1) << 4) | min(ci, 1)]) for ci in range(ncomp)
+        ) + bytes([0, 63, 0])
+        jpg = (
+            b"\xff\xd8"
+            + seg(0xDB, dqt)
+            + seg(0xC0, sof)
+            + seg(0xC4, dht)
+            + (seg(0xDD, struct.pack(">H", restart)) if restart else b"")
+            + seg(0xDA, sos)
+            + bytes(out_stream)
+            + b"\xff\xd9"
+        )
+        # expected reconstruction from the transmitted coefficients
+        rec = []
+        for ci, (sh, sv) in enumerate(samp):
+            qt_zz = qts[qt_of[ci]].astype(np.float64)[ZZ]
+            grid = reconstruct_plane(tx[ci], qt_zz, n_my, n_mx, sv, sh)
+            grid = np.repeat(
+                np.repeat(grid, max_v // sv, axis=0), max_h // sh, axis=1
+            )
+            rec.append(grid[:h, :w].astype(np.float64))
+        if ncomp == 1:
+            expected = rec[0][..., None].astype(np.uint8)
+        else:
+            yy, cb, cr = rec
+            rr = yy + 1.402 * (cr - 128.0)
+            gg = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bb = yy + 1.772 * (cb - 128.0)
+            expected = np.clip(np.round(np.dstack([rr, gg, bb])), 0, 255).astype(
+                np.uint8
+            )
+        rows.append(
+            {
+                "img_id": k,
+                "jpg": jpg,
+                "width": w,
+                "height": h,
+                "channels": 1 if ncomp == 1 else 3,
+                "mean_px": round(float(expected.mean()), 6),
+                "expected": expected,
+            }
+        )
+    return rows
+
+
 def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
     """Reference GIF-LZW encoder (fixture/oracle side only — the package
     decoder never sees it): greedy string table, CLEAR first, code width
@@ -968,6 +1243,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("img_id")
 
     q["gif_decode"] = q_gif_decode
+
+    def q_jpeg_decode(spark, sf):
+        """Distributed baseline-JPEG pixel decode — same mapInPandas
+        plumbing, codec = operators/jpeg.py (Huffman entropy decode +
+        vectorized dequantize/IDCT/upsample/YCbCr, stdlib + numpy only;
+        validated against real-world baseline JPEGs in a session check).
+        Input: the 6-image in-repo fixture (gray, 4:4:4, 4:2:0, 4:2:2,
+        restart markers, 16-bit DQT). JPEG is lossy, so the oracle
+        literals are the means of the reconstruction DEFINED by the
+        encoder's quantized coefficients, computed fixture-side through
+        an independent per-block implementation — the row proves the
+        decoder recovers exactly what the byte stream transports."""
+        import pandas as pd
+
+        from slower_whisper_spark.operators.jpeg import decode_jpeg_pixels
+
+        rows = _jpeg_fixture()
+        df = spark.createDataFrame(
+            [(r["img_id"], bytearray(r["jpg"])) for r in rows],
+            "img_id long, jpg binary",
+        ).repartition(3, "img_id")
+
+        cols = ["img_id", "width", "height", "channels", "mean_px"]
+
+        def decode(batches):
+            for pdf in batches:
+                out = []
+                for img_id, jpg in zip(pdf["img_id"], pdf["jpg"]):
+                    px = decode_jpeg_pixels(bytes(jpg))
+                    if px is None:
+                        out.append((int(img_id), None, None, None, None))
+                        continue
+                    out.append(
+                        (
+                            int(img_id),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.shape[2]),
+                            round(float(px.mean()), 6),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=cols)
+
+        return df.mapInPandas(
+            decode,
+            "img_id long, width long, height long, channels long, mean_px double",
+        ).orderBy("img_id")
+
+    q["jpeg_decode"] = q_jpeg_decode
 
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
@@ -2021,12 +2345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     conditional_verdicts, median_by_group, categorical_distribution,
     #     unique_check, dup_key_counts, cross_field_join, top_customers,
     #     shipping_priority — all inside the first 50 again in r5.
-    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 15
+    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 16
     #     parked because ann_ivf_partitioned + ivf_train_distributed +
-    #     turn_lifecycle_batch + gif_decode + neardup_components joined
-    #     the window): the set below. r6 must swap THESE back in and park
-    #     a different green-in-r5 set.
+    #     turn_lifecycle_batch + gif_decode + jpeg_decode +
+    #     neardup_components joined the window): the set below. r6 must
+    #     swap THESE back in and park a different green-in-r5 set.
     _TAIL_R5 = [
+        "bpe_tokens",
         "keyword_extract",
         "langid_heuristic",
         "hash_invariant",
@@ -2221,6 +2546,25 @@ def _gif_decode_oracle() -> str:
     """Expected GIF decode output as literals from the RAW palette-expanded
     arrays (the encoder's input) — the oracle side never runs the decoder."""
     rows = _gif_fixture()
+    vals = ",\n      ".join(
+        f"({r['img_id']}, {r['width']}, {r['height']}, {r['channels']}, {r['mean_px']!r})"
+        for r in rows
+    )
+    return f"""
+    SELECT img_id::BIGINT AS img_id, width::BIGINT AS width,
+           height::BIGINT AS height, channels::BIGINT AS channels,
+           mean_px::DOUBLE AS mean_px
+    FROM (VALUES {vals}) AS t(img_id, width, height, channels, mean_px)
+    ORDER BY img_id
+    """
+
+
+def _jpeg_decode_oracle() -> str:
+    """Expected JPEG decode output as literals from the fixture's
+    independent reconstruction of the transmitted coefficients (JPEG is
+    lossy: the quantized stream, not the source bitmap, is ground truth).
+    The oracle side never runs the package decoder."""
+    rows = _jpeg_fixture()
     vals = ",\n      ".join(
         f"({r['img_id']}, {r['width']}, {r['height']}, {r['channels']}, {r['mean_px']!r})"
         for r in rows
@@ -2523,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "kll_drift_psi": _kll_drift_oracle(),
         "png_decode": _png_decode_oracle(),
         "gif_decode": _gif_decode_oracle(),
+        "jpeg_decode": _jpeg_decode_oracle(),
         "nation_volume": """
             SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
             FROM (

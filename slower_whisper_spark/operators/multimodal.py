@@ -16,10 +16,10 @@ stdlib + numpy):
   real where the payload is decodable with stdlib + numpy: PCM
   RMS/zero-crossings for WAV, per-band pixel stats for uncompressed 24-bit
   BMP, full PNG pixel decode (zlib + per-spec un-filtering, see
-  decode_png_pixels) and full GIF pixel decode (pure-Python LZW, see
-  decode_gif_pixels); JPEG falls back to a content-hash feature,
-  documented — its Huffman/DCT entropy coding is where a codec library
-  would slot in.
+  decode_png_pixels), full GIF pixel decode (pure-Python LZW, see
+  decode_gif_pixels), and baseline-JPEG pixel decode (Huffman + IDCT, see
+  operators/jpeg.py); progressive JPEG falls back to a content-hash
+  feature, documented — that is where a codec library would slot in.
 * ``decoder="fake"`` — deterministic stub (stable synthetic dims/features),
   for plumbing tests.
 * ``decoder="pillow"``/``"ffmpeg"`` — raise NotImplementedError until the
@@ -455,9 +455,9 @@ def decode_gif_pixels(b: bytes) -> np.ndarray | None:
 
 def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
     """Real features where the payload is decodable without a codec library
-    (WAV PCM, raw BMP, zlib-compressed PNG, LZW-compressed GIF);
-    hash-fallback for the rest (JPEG's Huffman/DCT genuinely needs a
-    codec)."""
+    (WAV PCM, raw BMP, zlib-compressed PNG, LZW-compressed GIF,
+    baseline-Huffman JPEG); hash-fallback for the rest (progressive JPEG,
+    unknown containers)."""
     if meta["format"] == "wav":
         i, data = 12, None
         while i + 8 <= len(b):
@@ -475,8 +475,15 @@ def _headers_feature(b: bytes, meta: dict, dim: int) -> list[float]:
                 mean = float(np.mean(s) / 32768.0)
                 base = [rms, zc, peak, mean]
                 return (base + [0.0] * dim)[:dim]
-    if meta["format"] in ("png", "gif"):
-        px = decode_png_pixels(b) if meta["format"] == "png" else decode_gif_pixels(b)
+    if meta["format"] in ("png", "gif", "jpeg"):
+        if meta["format"] == "png":
+            px = decode_png_pixels(b)
+        elif meta["format"] == "gif":
+            px = decode_gif_pixels(b)
+        else:
+            from slower_whisper_spark.operators.jpeg import decode_jpeg_pixels
+
+            px = decode_jpeg_pixels(b)  # None for progressive → hash fallback
         if px is not None:
             flat = px.reshape(-1, px.shape[2]).astype(np.float64) / 255.0
             means, stds = flat.mean(axis=0), flat.std(axis=0)

@@ -591,3 +591,59 @@ def test_gif_corrupt_streams_return_none():
     # no color table at all
     no_ct = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + desc + b"\x02\x00\x3b"
     assert decode_gif_pixels(no_ct) is None
+
+
+# --------------------------------------------------------------------- #
+# baseline JPEG pixel decode (Huffman + IDCT, operators/jpeg.py)
+# --------------------------------------------------------------------- #
+def test_jpeg_fixture_roundtrip_bit_exact():
+    """Every fixture JPEG (gray, 4:4:4, 4:2:0, 4:2:2, restart markers,
+    16-bit DQT) must decode BIT-EXACTLY to the reconstruction defined by
+    the encoder's quantized coefficients — the decoder and the fixture
+    compute dequantize→IDCT→upsample→color through independent code
+    paths, so agreement pins both."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.jpeg import decode_jpeg_pixels
+
+    rows = em._jpeg_fixture()
+    assert len(rows) == 6
+    for r in rows:
+        px = decode_jpeg_pixels(r["jpg"])
+        assert px is not None, r["img_id"]
+        assert px.shape == r["expected"].shape, r["img_id"]
+        assert (px == r["expected"]).all(), r["img_id"]
+        assert round(float(px.mean()), 6) == r["mean_px"]
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive (SOF2), missing frames, and truncated entropy streams
+    must reject → None (hash fallback), never raise."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.jpeg import decode_jpeg_pixels
+
+    good = em._jpeg_fixture()[1]["jpg"]
+    # flip the SOF0 marker to SOF2 (progressive)
+    sof_at = good.find(b"\xff\xc0")
+    progressive = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
+    assert decode_jpeg_pixels(progressive) is None
+    # truncate mid-entropy-stream
+    assert decode_jpeg_pixels(good[: len(good) // 2]) is None
+    # not a JPEG at all / bare SOI
+    assert decode_jpeg_pixels(b"\x89PNG") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_huffman_canonical_table():
+    """Canonical table builder: counts [0,1,5,...] yield the spec's
+    standard DC-luminance code assignment (len-2 code 0 → sym 0, len-3
+    codes 0b010.. → syms 1..5, etc.)."""
+    from slower_whisper_spark.operators.jpeg import build_huffman
+
+    counts = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    symbols = bytes(range(12))
+    t = build_huffman(counts, symbols)
+    assert t[(2, 0b00)] == 0
+    assert t[(3, 0b010)] == 1
+    assert t[(3, 0b110)] == 5
+    assert t[(4, 0b1110)] == 6
+    assert t[(9, 0b111111110)] == 11
