@@ -391,6 +391,144 @@ def _png_fixture(n_images: int = 20):
     return rows
 
 
+# --------------------------------------------------------------------- #
+# WAV fixture for the audio-leg driver rows: deterministic PCM clips are
+# ENCODED here (RIFF writer) from seeded int16 sample arrays built as
+# alternating speech/silence blocks (square wave + noise); the engine
+# DECODES them distributed and computes frame stats + VAD segments. The
+# expected per-frame integers come from the RAW arrays via the same
+# exact-integer definition (frame_stats_int), so the frame row checks
+# encode→decode→framing fidelity; the VAD oracle re-implements the
+# segmentation independently in DuckDB SQL over those frame literals.
+# Variants: 16 kHz / 8 kHz, stereo (exact floor-mean downmix), 8-bit PCM
+# (256-grid quantized), trailing partial frame (dropped), all-silence
+# (zero segments) and all-speech (one full-length segment) clips.
+# --------------------------------------------------------------------- #
+_WAV_FRAME_LEN = 400
+_WAV_MS_THRESHOLD = 1_000_000  # mean-square (amplitude ~1000 on int16 grid)
+
+
+def _wav_fixture(n_clips: int = 10):
+    import numpy as np
+
+    from slower_whisper_spark.operators.audio import (
+        encode_wav_pcm16,
+        frame_stats_int,
+    )
+
+    FRAME = _WAV_FRAME_LEN
+    rows = []
+    for i in range(n_clips):
+        rng = np.random.RandomState(7000 + i)
+        rate = 16000 if i % 3 else 8000
+        if i == 8:  # all-silence clip → zero VAD segments
+            kinds = [False] * 5
+        elif i == 9:  # all-speech clip → one segment spanning every frame
+            kinds = [True] * 5
+        else:  # alternating speech/silence blocks
+            kinds = [(b + i) % 2 == 0 for b in range(4 + i % 4)]
+        blocks = []
+        for speech in kinds:
+            n = int(rng.randint(3, 20)) * FRAME
+            amp = int(rng.randint(3000, 16000)) if speech else int(rng.randint(50, 300))
+            period = int(rng.randint(8, 120))
+            t = np.arange(n)
+            wave = np.where((t // period) % 2 == 0, amp, -amp)
+            noise = rng.randint(-200, 201, size=n)
+            blocks.append((wave + noise).astype(np.int16))
+        samples = np.concatenate(blocks)
+        if i == 3:  # trailing partial frame: dropped by the framing contract
+            samples = np.concatenate(
+                [samples, rng.randint(-100, 101, size=137).astype(np.int16)]
+            )
+        if i == 5:  # stereo: expected = exact floor-mean downmix
+            right = np.roll(samples, 7)
+            inter = np.empty(2 * len(samples), dtype=np.int16)
+            inter[0::2], inter[1::2] = samples, right
+            wav = encode_wav_pcm16(inter, rate, channels=2)
+            mono = (
+                (samples.astype(np.int64) + right.astype(np.int64)) // 2
+            ).astype(np.int16)
+        elif i == 6:  # 8-bit PCM: expected = 256-grid quantization
+            mono = ((samples >> 8) << 8).astype(np.int16)
+            wav = encode_wav_pcm16(samples, rate, bits=8)
+        else:
+            mono = samples
+            wav = encode_wav_pcm16(samples, rate)
+        frames = frame_stats_int(mono, FRAME)
+        rows.append(
+            {
+                "audio_id": i,
+                "rate": rate,
+                "wav": wav,
+                "frames": [
+                    (idx, n, sumsq, zc, peak)
+                    for idx, (n, sumsq, zc, peak) in enumerate(frames)
+                ],
+            }
+        )
+    return rows
+
+
+def _wav_frames_values() -> str:
+    """The fixture's expected frame stats as a SQL VALUES list (shared by
+    both audio oracles)."""
+    rows = _wav_fixture()
+    return ",\n      ".join(
+        f"({r['audio_id']}, {r['rate']}, {idx}, {n}, {sumsq}, {zc}, {peak})"
+        for r in rows
+        for idx, n, sumsq, zc, peak in r["frames"]
+    )
+
+
+def _wav_frame_oracle() -> str:
+    """Per-frame integer stats as encode-side literals: the oracle never
+    runs the WAV decoder, so the row checks the full encode→decode→frame
+    path (operators/audio.py: decode_wav_pcm + frame_stats_int)."""
+    return f"""
+    SELECT audio_id::BIGINT AS audio_id, rate::BIGINT AS rate,
+           frame_idx::BIGINT AS frame_idx, n::BIGINT AS n,
+           sumsq::BIGINT AS sumsq, zc::BIGINT AS zero_cross,
+           peak::BIGINT AS peak
+    FROM (VALUES {_wav_frames_values()})
+      AS t(audio_id, rate, frame_idx, n, sumsq, zc, peak)
+    ORDER BY audio_id, frame_idx
+    """
+
+
+def _wav_vad_oracle() -> str:
+    """Independent DuckDB re-implementation of the energy-VAD segmentation
+    (gaps-and-islands over the encode-side frame literals) — two genuinely
+    separate implementations of the relational logic must agree."""
+    return f"""
+    WITH fr(audio_id, rate, frame_idx, n, sumsq, zc, peak) AS (
+      VALUES {_wav_frames_values()}
+    ), act AS (
+      SELECT *, frame_idx - ROW_NUMBER() OVER (
+        PARTITION BY audio_id ORDER BY frame_idx) AS grp
+      FROM fr WHERE sumsq >= {_WAV_MS_THRESHOLD} * n
+    ), seg AS (
+      SELECT audio_id, MIN(rate) AS rate, MIN(frame_idx) AS start_frame,
+             MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+             SUM(n) AS n_samples, SUM(sumsq) AS sum_sumsq,
+             SUM(zc) AS sum_zero_cross, MAX(peak) AS peak,
+             MIN(n) AS frame_n
+      FROM act GROUP BY audio_id, grp
+    )
+    SELECT audio_id::BIGINT AS audio_id,
+           ROW_NUMBER() OVER (PARTITION BY audio_id ORDER BY start_frame)::BIGINT
+             AS seg_id,
+           start_frame::BIGINT AS start_frame, end_frame::BIGINT AS end_frame,
+           n_frames::BIGINT AS n_frames, n_samples::BIGINT AS n_samples,
+           sum_sumsq::BIGINT AS sum_sumsq,
+           sum_zero_cross::BIGINT AS sum_zero_cross, peak::BIGINT AS peak,
+           CAST(start_frame * frame_n AS DOUBLE) / rate AS start_sec,
+           CAST(end_frame * frame_n + frame_n AS DOUBLE) / rate AS end_sec
+    FROM seg
+    ORDER BY audio_id, seg_id
+    """
+
+
 def _jpeg_fixture(n_images: int = 6):
     """Deterministic in-repo baseline-JPEG corpus: seeded RGB/gray bitmaps
     run through a reference encoder written HERE (FDCT → quantize →
@@ -1292,6 +1430,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("img_id")
 
     q["jpeg_decode"] = q_jpeg_decode
+
+    def q_wav_frame_energy(spark, sf):
+        """Audio-leg multimodal decode: distributed WAV PCM parse →
+        exact-integer per-frame features (sumsq / zero-crossings / peak as
+        int64 — no floats cross the UDF boundary). Input is the
+        deterministic in-repo WAV fixture (10 clips: 16/8 kHz, stereo
+        floor-mean downmix, 8-bit PCM on the 256 grid, trailing partial
+        frame, all-silence and all-speech); the oracle is the same stats
+        computed from the RAW sample arrays pre-encode, so the row proves
+        WAV encode→decode→framing round-trip fidelity on the cluster path
+        (operators/audio.py; ref: transcription/audio_enrichment.py
+        frame-level prosody features)."""
+        from slower_whisper_spark.operators.audio import wav_frame_stats
+
+        rows = _wav_fixture()
+        df = spark.createDataFrame(
+            [(r["audio_id"], bytearray(r["wav"])) for r in rows],
+            "audio_id long, wav binary",
+        ).repartition(8, "audio_id")
+        return wav_frame_stats(df, frame_len=_WAV_FRAME_LEN).orderBy(
+            "audio_id", "frame_idx"
+        )
+
+    q["wav_frame_energy"] = q_wav_frame_energy
+
+    def q_wav_vad_segments(spark, sf):
+        """Energy-VAD segmentation — the reference's core pipeline shape
+        (audio in → timed Segment rows out, ref: transcription/pipeline.py,
+        models.py:524-579) as pure relational algebra: the only Python is
+        the codec boundary; thresholding is one int64 comparison and
+        segment formation is JVM-side gaps-and-islands + one groupBy.
+        The oracle re-implements the same segmentation independently in
+        DuckDB SQL over encode-side frame literals."""
+        from slower_whisper_spark.operators.audio import (
+            vad_segments,
+            wav_frame_stats,
+        )
+
+        rows = _wav_fixture()
+        df = spark.createDataFrame(
+            [(r["audio_id"], bytearray(r["wav"])) for r in rows],
+            "audio_id long, wav binary",
+        ).repartition(8, "audio_id")
+        frames = wav_frame_stats(df, frame_len=_WAV_FRAME_LEN)
+        return vad_segments(frames, ms_threshold=_WAV_MS_THRESHOLD).orderBy(
+            "audio_id", "seg_id"
+        )
+
+    q["wav_vad_segments"] = q_wav_vad_segments
 
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
@@ -2367,6 +2554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_number_topn",
         "asof_join",
         "tfidf_top_term",
+        # parked when wav_frame_energy + wav_vad_segments joined the window
+        "interval_overlap",
+        "pack_chunks",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -2868,6 +3058,8 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": _png_decode_oracle(),
         "gif_decode": _gif_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
+        "wav_frame_energy": _wav_frame_oracle(),
+        "wav_vad_segments": _wav_vad_oracle(),
         "nation_volume": """
             SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
             FROM (
