@@ -804,6 +804,72 @@ def _jpeg_fixture(n_images: int = 6):
     return rows
 
 
+# --------------------------------------------------------------------- #
+# AVI fixture for the video-leg driver row: MJPG containers are WRITTEN
+# here (RIFF writer in operators/video.py) around frames drawn from the
+# baseline-JPEG fixture (deterministic per-video permutations, varying
+# fps), plus one deliberately-truncated sampled frame. The expected rows
+# come from the JPEG fixture's coefficient-reconstruction means — the
+# oracle never parses the container or decodes a frame.
+# --------------------------------------------------------------------- #
+_AVI_SAMPLE_EVERY = 3
+
+
+def _avi_fixture(n_videos: int = 4):
+    from slower_whisper_spark.operators.video import encode_avi_mjpeg
+
+    jrows = _jpeg_fixture()
+    specs = [  # (fps_num, fps_den, n_frames, jpg-permutation stride, offset)
+        (30, 1, 10, 1, 0),
+        (25, 1, 14, 5, 2),
+        (24, 1, 8, 3, 1),
+        (60000, 1001, 17, 3, 4),  # NTSC-style non-integer fps
+    ]
+    rows = []
+    for vid, (num, den, n_frames, stride, off) in enumerate(specs[:n_videos]):
+        srcs = [(k * stride + off) % len(jrows) for k in range(n_frames)]
+        frames = [jrows[s]["jpg"] for s in srcs]
+        if vid == 2:  # corrupt a SAMPLED frame: truncated entropy stream
+            frames[_AVI_SAMPLE_EVERY] = frames[_AVI_SAMPLE_EVERY][:40]
+        avi = encode_avi_mjpeg(
+            frames, fps_num=num, fps_den=den,
+            width=jrows[srcs[0]]["width"], height=jrows[srcs[0]]["height"],
+        )
+        upf = 1_000_000 * den // num
+        expected = []
+        for idx in range(0, n_frames, _AVI_SAMPLE_EVERY):
+            t_ms = idx * upf // 1000
+            if vid == 2 and idx == _AVI_SAMPLE_EVERY:
+                expected.append((idx, t_ms, None, None, None, None))
+                continue
+            j = jrows[srcs[idx]]
+            expected.append(
+                (idx, t_ms, j["width"], j["height"], j["channels"], j["mean_px"])
+            )
+        rows.append({"video_id": vid, "avi": avi, "expected": expected})
+    return rows
+
+
+def _video_frame_oracle() -> str:
+    rows = _avi_fixture()
+    def lit(v):
+        return "NULL" if v is None else repr(v)
+    vals = ",\n      ".join(
+        f"({r['video_id']}, {idx}, {t_ms}, {lit(w)}, {lit(h)}, {lit(ch)}, {lit(mean)})"
+        for r in rows
+        for idx, t_ms, w, h, ch, mean in r["expected"]
+    )
+    return f"""
+    SELECT video_id::BIGINT AS video_id, frame_idx::BIGINT AS frame_idx,
+           t_ms::BIGINT AS t_ms, width::BIGINT AS width,
+           height::BIGINT AS height, channels::BIGINT AS channels,
+           mean_px::DOUBLE AS mean_px
+    FROM (VALUES {vals})
+      AS t(video_id, frame_idx, t_ms, width, height, channels, mean_px)
+    ORDER BY video_id, frame_idx
+    """
+
+
 def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
     """Reference GIF-LZW encoder (fixture/oracle side only — the package
     decoder never sees it): greedy string table, CLEAR first, code width
@@ -1479,6 +1545,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wav_vad_segments"] = q_wav_vad_segments
+
+    def q_video_frame_sample(spark, sf):
+        """Video-leg multimodal: distributed AVI/MJPEG container parse +
+        every-Nth frame sampling + per-frame decode through the package's
+        own baseline-JPEG decoder (operators/video.py + jpeg.py). Only
+        sampled frames pay codec cost — the container walk is a pure byte
+        scan. Fixture: 4 MJPG containers written around baseline-JPEG
+        fixture frames (varying fps incl. NTSC 60000/1001, one truncated
+        SAMPLED frame → metadata-only row); the oracle replays the
+        coefficient-reconstruction means encode-side, so the row checks
+        container-write → parse → sample → decode end to end."""
+        from slower_whisper_spark.operators.video import sample_video_frames
+
+        rows = _avi_fixture()
+        df = spark.createDataFrame(
+            [(r["video_id"], bytearray(r["avi"])) for r in rows],
+            "video_id long, avi binary",
+        ).repartition(4, "video_id")
+        return sample_video_frames(df, every=_AVI_SAMPLE_EVERY).orderBy(
+            "video_id", "frame_idx"
+        )
+
+    q["video_frame_sample"] = q_video_frame_sample
 
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
@@ -2554,9 +2643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_number_topn",
         "asof_join",
         "tfidf_top_term",
-        # parked when wav_frame_energy + wav_vad_segments joined the window
+        # parked when wav_frame_energy + wav_vad_segments +
+        # video_frame_sample joined the window
         "interval_overlap",
         "pack_chunks",
+        "big_orders",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3060,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode": _jpeg_decode_oracle(),
         "wav_frame_energy": _wav_frame_oracle(),
         "wav_vad_segments": _wav_vad_oracle(),
+        "video_frame_sample": _video_frame_oracle(),
         "nation_volume": """
             SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
             FROM (
