@@ -461,6 +461,9 @@ def _wav_fixture(n_clips: int = 10):
                 "audio_id": i,
                 "rate": rate,
                 "wav": wav,
+                "n_samples": len(mono),
+                "bits": 8 if i == 6 else 16,
+                "channels": 2 if i == 5 else 1,
                 "frames": [
                     (idx, n, sumsq, zc, peak)
                     for idx, (n, sumsq, zc, peak) in enumerate(frames)
@@ -867,6 +870,118 @@ def _video_frame_oracle() -> str:
     FROM (VALUES {vals})
       AS t(video_id, frame_idx, t_ms, width, height, channels, mean_px)
     ORDER BY video_id, frame_idx
+    """
+
+
+# --------------------------------------------------------------------- #
+# Ingest-guard fixture (S8): a mixed payload corpus drawn from the
+# PNG/GIF/JPEG/WAV/AVI fixtures plus deliberate rejects (junk magic,
+# disallowed-but-recognized BMP, oversized, truncated header, headerless
+# WAV, unknown RIFF). Ground-truth facts (size, format, probe outcome,
+# dims/duration) come from CONSTRUCTION knowledge — the oracle never runs
+# the sniffer or the header probe; it re-implements only the guard
+# decision logic (cap + allow-list + probe gate) in SQL.
+# --------------------------------------------------------------------- #
+_INGEST_SIZE_CAP = 200_000
+
+
+def _ingest_fixture():
+    import struct as _s
+
+    png0 = _png_fixture()[0]
+    gif0 = _gif_fixture()[0]
+    jpg1 = _jpeg_fixture()[1]
+    wavr = _wav_fixture()[0]
+    avir = _avi_fixture()[0]
+    jrows = _jpeg_fixture()
+
+    wav_ba = (wavr["bits"] // 8) * wavr["channels"]
+    wav_data = wav_ba * wavr["n_samples"]
+    avi_upf = 1_000_000 * 1 // 30  # video 0 spec: 30/1 fps
+    avi_frames = 10  # video 0 spec: 10 frames
+
+    # tiny valid 24-bit BMP (recognized magic, NOT in the allow list)
+    bmp_px = b"\x10\x20\x30" * 4
+    bmp = (
+        b"BM" + _s.pack("<IHHI", 54 + len(bmp_px), 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(bmp_px), 0, 0, 0, 0)
+        + bmp_px
+    )
+    # GIF whose stream ends after the screen descriptor: header probe
+    # succeeds (dims present) — the guard is ffprobe-shaped, header-level
+    gif_hdr_only = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    # headerless WAV: fmt chunk only, no data → no duration → probe reject
+    wav_nodata = b"RIFF" + _s.pack("<I", 28) + b"WAVE" + b"fmt " + _s.pack(
+        "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16
+    )
+    items = [
+        # (payload, fmt, probe_ok, width, height, duration_sec)
+        (png0["png"], "png", True, png0["width"], png0["height"], None),
+        (gif0["gif"], "gif", True, gif0["width"], gif0["height"], None),
+        (jpg1["jpg"], "jpeg", True, jpg1["width"], jpg1["height"], None),
+        (wavr["wav"], "wav", True, None, None,
+         wav_data / (wavr["rate"] * wav_ba)),
+        (avir["avi"], "avi", True, jrows[0]["width"], jrows[0]["height"],
+         avi_frames * avi_upf / 1e6),
+        (b"just some plain text, no magic", "bin", None, None, None, None),
+        (bmp, "bmp", None, None, None, None),  # recognized, disallowed
+        (bytes(png0["png"]) + b"\x00" * (_INGEST_SIZE_CAP + 1), "png",
+         None, None, None, None),  # oversized
+        (b"\x89PNG\r\n\x1a\n\x00\x00", "png", False, None, None, None),
+        (b"RIFF" + _s.pack("<I", 8) + b"XXXXabcd", "bin", None, None, None, None),
+        (wav_nodata, "wav", False, None, None, None),
+        (gif_hdr_only, "gif", True, 320, 200, None),
+    ]
+    return [
+        {
+            "item_id": i,
+            "payload": payload,
+            "n_bytes": len(payload),
+            "fmt": fmt,
+            "probe_ok": probe_ok,
+            "width": w,
+            "height": h,
+            "duration_sec": dur,
+        }
+        for i, (payload, fmt, probe_ok, w, h, dur) in enumerate(items)
+    ]
+
+
+def _ingest_guards_oracle() -> str:
+    rows = _ingest_fixture()
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return repr(v)
+
+    vals = ",\n      ".join(
+        f"({r['item_id']}, {r['n_bytes']}, '{r['fmt']}', {lit(r['probe_ok'])}, "
+        f"{lit(r['width'])}, {lit(r['height'])}, {lit(r['duration_sec'])})"
+        for r in rows
+    )
+    return f"""
+    WITH facts(item_id, n_bytes, fmt, probe_ok, width, height, duration_sec) AS (
+      VALUES {vals}
+    )
+    SELECT item_id::BIGINT AS item_id, n_bytes::BIGINT AS n_bytes, fmt,
+           CASE
+             WHEN n_bytes > {_INGEST_SIZE_CAP} THEN 'rejected_size'
+             WHEN fmt NOT IN ('png','jpeg','gif','wav','avi')
+               THEN 'rejected_format'
+             WHEN NOT probe_ok THEN 'rejected_probe'
+             ELSE 'accepted'
+           END AS verdict,
+           CASE WHEN n_bytes <= {_INGEST_SIZE_CAP} AND probe_ok
+                THEN width END::BIGINT AS width,
+           CASE WHEN n_bytes <= {_INGEST_SIZE_CAP} AND probe_ok
+                THEN height END::BIGINT AS height,
+           CASE WHEN n_bytes <= {_INGEST_SIZE_CAP} AND probe_ok
+                THEN duration_sec END::DOUBLE AS duration_sec
+    FROM facts
+    ORDER BY item_id
     """
 
 
@@ -1568,6 +1683,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["video_frame_sample"] = q_video_frame_sample
+
+    def q_ingest_guards(spark, sf):
+        """S8 upload/ingest guards (ref: transcription/
+        service_validation.py:16-257): two-tier verdicts over a mixed
+        binary corpus — tier 1 (byte cap + magic-byte sniff) is pure JVM
+        Column logic inside the scan; tier 2 (the ffprobe-analog header
+        probe) runs mapInPandas ONLY on tier-1 survivors. Fixture: valid
+        PNG/GIF/JPEG/WAV/AVI payloads + junk magic, disallowed BMP,
+        oversized, truncated-header, headerless-WAV, unknown-RIFF rejects.
+        The oracle replays construction-time ground truth and
+        re-implements the guard DECISION logic in SQL — the sniffer and
+        probe never run on the oracle side."""
+        from slower_whisper_spark.sources.ingest import ingest_guards
+
+        rows = _ingest_fixture()
+        df = spark.createDataFrame(
+            [(r["item_id"], bytearray(r["payload"])) for r in rows],
+            "item_id long, payload binary",
+        ).repartition(4, "item_id")
+        return ingest_guards(
+            df, size_cap=_INGEST_SIZE_CAP
+        ).orderBy("item_id")
+
+    q["ingest_guards"] = q_ingest_guards
 
     # ---- TPC-H-style aggregation (A1-A4) ----------------------------------- #
     def q_pricing_summary(spark, sf):
@@ -2648,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap",
         "pack_chunks",
         "big_orders",
+        "dedup_drop",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3152,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_frame_energy": _wav_frame_oracle(),
         "wav_vad_segments": _wav_vad_oracle(),
         "video_frame_sample": _video_frame_oracle(),
+        "ingest_guards": _ingest_guards_oracle(),
         "nation_volume": """
             SELECT supp_nation, cust_nation, l_year, round(SUM(vol), 2) AS revenue
             FROM (

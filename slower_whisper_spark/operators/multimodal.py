@@ -118,6 +118,17 @@ def parse_media_header(b: bytes) -> dict:
         elif b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             out.update(media_type="image", format="bmp", width=w, height=abs(h))
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from slower_whisper_spark.operators.video import parse_avi_mjpeg
+
+            out.update(media_type="video", format="avi")
+            avi = parse_avi_mjpeg(b)
+            if avi is not None:
+                out.update(
+                    width=avi["width"] or None,
+                    height=avi["height"] or None,
+                    duration_sec=avi["total_frames"] * avi["us_per_frame"] / 1e6,
+                )
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             rate = block_align = data_size = None
