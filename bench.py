@@ -268,6 +268,63 @@ def run_llm_ops_bench(spark, paths) -> dict:
     return out
 
 
+def run_media_bench(spark) -> dict:
+    """Audio-leg throughput: WAV decode → exact-int frame stats → energy-VAD
+    segments over a generated clip corpus. The corpus is synthesized ONCE,
+    executor-side (mapInPandas; no driver materialization), written to the
+    bench cache as parquet-with-binary, and the operator is measured over
+    reads — the storage-resident regime. Reported as samples/sec and as an
+    RTF analog (audio-seconds processed per wall-second — the reference's
+    headline unit, docs/PERFORMANCE.md: 6.9x full-pipeline RTF on GPU; here
+    the pipeline is decode+VAD only, so the number is the plumbing ceiling
+    an ASR stage would slot under)."""
+    import pandas as pd
+
+    from slower_whisper_spark.operators.audio import vad_segments, wav_frame_stats
+
+    n_clips = int(os.environ.get("SWS_BENCH_MEDIA_CLIPS", 2000))
+    sec_per_clip = 2
+    rate = 16000
+    path = os.path.join(BENCH_CACHE, f"wav_corpus_n{n_clips}_s{sec_per_clip}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+        def gen(batches):
+            import numpy as np
+
+            from slower_whisper_spark.operators.audio import encode_wav_pcm16
+
+            for pdf in batches:
+                out = []
+                for cid in pdf["id"]:
+                    rng = np.random.RandomState(int(cid) % 2**31)
+                    n = rate * sec_per_clip
+                    t = np.arange(n)
+                    period = 20 + int(cid) % 180
+                    amp = np.where((t // (rate // 4)) % 2 == 0, 9000, 120)
+                    wave = np.where((t // period) % 2 == 0, amp, -amp)
+                    s = (wave + rng.randint(-200, 201, size=n)).astype(np.int16)
+                    out.append((int(cid), encode_wav_pcm16(s, rate)))
+                yield pd.DataFrame(out, columns=["audio_id", "wav"])
+
+        spark.range(n_clips).mapInPandas(gen, "audio_id long, wav binary").coalesce(
+            8
+        ).write.mode("overwrite").parquet(path)
+    clips = spark.read.parquet(path)
+    t0 = time.monotonic()
+    segs = vad_segments(wav_frame_stats(clips), ms_threshold=1_000_000)
+    n_segs = segs.count()
+    wall = time.monotonic() - t0
+    audio_sec = n_clips * sec_per_clip
+    return {
+        "media_clips": n_clips,
+        "media_audio_sec": audio_sec,
+        "media_vad_segments": n_segs,
+        "media_wall_sec": round(wall, 3),
+        "media_samples_per_sec": round(n_clips * sec_per_clip * rate / wall, 1),
+        "media_rtf": round(audio_sec / wall, 1),
+    }
+
+
 HEADLINE_QUERIES = [
     "pricing_summary",
     "refint_counts",
@@ -347,6 +404,7 @@ def main() -> None:
     else:
         queries, queries_cold = run_query_bench(spark, sf_dir)
     llm_ops = run_llm_ops_bench(spark, paths) if os.environ.get("SWS_BENCH_LLM_OPS") else {}
+    media = {} if os.environ.get("SWS_BENCH_SKIP_MEDIA") else run_media_bench(spark)
 
     probe = {}
     if os.environ.get("SWS_BENCH_PROBE"):
@@ -389,6 +447,7 @@ def main() -> None:
                 "suite_phases_cold": suite_metrics["phases_cold"],
                 "master": master,
                 **llm_ops,
+                **media,
                 **probe,
             }
         )
