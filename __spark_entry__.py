@@ -2419,6 +2419,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = q_text_quality
 
+    def q_repetition_signals(spark, sf):
+        """Gopher-style within-document repetition: fraction of word n-gram
+        occurrences that repeat an earlier n-gram in the same document
+        (1 - distinct/total), at n=2 and n=3. Row-local array expressions —
+        zero shuffle at any scale (ref quality gates: the reference's
+        segment-level dedupe/quality heuristics, transcription/models.py
+        word_count fold family)."""
+        from slower_whisper_spark.functions.text import duplicate_ngram_fraction
+
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.round(duplicate_ngram_fraction("text", 2), 6).alias("dup2_frac"),
+            F.round(duplicate_ngram_fraction("text", 3), 6).alias("dup3_frac"),
+        ).orderBy("doc_id")
+
+    q["repetition_signals"] = q_repetition_signals
+
     def q_langid_heuristic(spark, sf):
         """Stopword-hit language heuristic, SQL-portable variant: en iff
         ' the ' occurs, else und — over documents."""
@@ -2788,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks",
         "big_orders",
         "dedup_drop",
+        # parked when repetition_signals joined the window
+        "idle_rich_customers",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3651,6 +3671,25 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
                      AS mean_word_len
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_signals": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 2 THEN round(
+                     1.0 - len(list_distinct(list_transform(
+                              generate_series(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+1], ' '))))
+                           / (len(toks) - 1), 6) END AS dup2_frac,
+                   CASE WHEN len(toks) >= 3 THEN round(
+                     1.0 - len(list_distinct(list_transform(
+                              generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))))
+                           / (len(toks) - 2), 6) END AS dup3_frac
+            FROM t ORDER BY doc_id
         """,
         "langid_heuristic": """
             SELECT CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en'

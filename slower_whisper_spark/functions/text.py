@@ -62,6 +62,34 @@ def mean_word_length(c: Column | str) -> Column:
     return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
 
 
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (unlike shingles(), which is the
+    distinct set for Jaccard): array of space-joined n-token windows.
+    Pure JVM transform over the token array — no explode, no shuffle."""
+    toks = tokens(c)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicate_ngram_fraction(c: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram occurrences
+    that are repeats of an earlier n-gram in the same document
+    (1 − distinct/total). Computed entirely inside the row — array_distinct
+    over the n-gram array — so a 10^12-doc table pays zero shuffle for it.
+    NULL for documents with fewer than n tokens."""
+    grams = word_ngrams(c, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        (F.lit(1.0) - F.size(F.array_distinct(grams)) / total).cast("double"),
+    )
+
+
 def quality_score(c: Column | str) -> Column:
     """[0,1] heuristic quality score: rewards 50-2000 tokens, mean word
     length 3-12, some stopwords, low punctuation excess. Weights are fixed

@@ -72,3 +72,30 @@ def test_stopword_punct_ratios(spark):
     # tokens: the dog, the cat. → 'the' twice of 4 tokens (commas attached)
     assert abs(r["sw"] - 0.5) < 1e-9
     assert r["p"] > 0
+
+
+def test_word_ngrams_multiplicity(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    got = [r[0] for r in df.select(X.word_ngrams("t", 2)).collect()]
+    assert got[0] == ["a b", "b c", "c d"]
+    assert got[1] == ["a b"]
+    assert got[2] == []
+
+
+def test_duplicate_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            # 3-grams: [the cat sat, cat sat the, sat the cat, the cat sat]
+            # total 4, distinct 3 -> 1 - 3/4 = 0.25
+            ("the cat sat the cat sat",),
+            ("a b c d",),  # all distinct -> 0.0
+            ("a b",),  # fewer than n tokens -> NULL
+            ("",),  # empty -> NULL
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(X.duplicate_ngram_fraction("t", 3)).collect()]
+    assert abs(got[0] - 0.25) < 1e-12
+    assert got[1] == 0.0
+    assert got[2] is None
+    assert got[3] is None
