@@ -2437,6 +2437,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_signals"] = q_repetition_signals
 
+    def q_html_extract(spark, sf):
+        """HTML render→extract byte-identity round trip (the engine's
+        per-row invariant, BASELINE.json input_hint: "byte-identical
+        extracted text per url") exercised end-to-end in SQL: entity-encode
+        an entity-laden content string into a templated page (comments,
+        script, style, tags), extract the visible text back with
+        functions/html.py's vectorized pipeline, compare byte-for-byte.
+        Zero Python, zero shuffle — one fused projection."""
+        from slower_whisper_spark.functions.html import (
+            encode_entities,
+            extract_html_text,
+        )
+
+        docs = _t(spark, sf, "documents")
+        content = F.concat(F.lit('a&b <c> "d" '), F.col("text"))
+        rendered = F.concat(
+            F.lit(
+                "<!DOCTYPE html><html><head><title></title>"
+                "<style>p{margin:0}</style></head><body><!-- nav --><p>"
+            ),
+            encode_entities(content),
+            F.lit('</p><script>var q="<b>&amp;</b>";</script></body></html>'),
+        )
+        return docs.select(
+            "doc_id",
+            F.length(rendered).cast("long").alias("html_len"),
+            (extract_html_text(rendered) == content).alias("roundtrip_ok"),
+        ).orderBy("doc_id")
+
+    q["html_extract"] = q_html_extract
+
     def q_langid_heuristic(spark, sf):
         """Stopword-hit language heuristic, SQL-portable variant: en iff
         ' the ' occurs, else und — over documents."""
@@ -2808,6 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop",
         # parked when repetition_signals joined the window
         "idle_rich_customers",
+        # parked when html_extract joined the window
+        "waiting_suppliers",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3205,6 +3238,31 @@ def _ivf_train_oracle(n_centroids: int = 8, n_iter: int = 5, seed: int = 7) -> s
     SELECT CAST(cid AS BIGINT) AS cell, count(*) AS n_vecs
     FROM assign GROUP BY cell ORDER BY cell
     """
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB twin of q_html_extract: same render template, same extraction
+    pipeline (functions/html.py emits the dialect-correct SQL)."""
+    from slower_whisper_spark.functions.html import extract_html_text_sql
+
+    extract = extract_html_text_sql("html", "duckdb")
+    return f"""
+        WITH r AS (
+          SELECT doc_id, 'a&b <c> "d" ' || text AS content FROM documents),
+        h AS (
+          SELECT doc_id, content,
+                 '<!DOCTYPE html><html><head><title></title><style>p{{margin:0}}</style></head><body><!-- nav --><p>'
+                 || replace(replace(replace(replace(replace(content,
+                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&#39;')
+                 || '</p><script>var q="<b>&amp;</b>";</script></body></html>' AS html
+          FROM r)
+        SELECT doc_id, length(html)::BIGINT AS html_len,
+               ({extract} = content) AS roundtrip_ok
+        FROM h ORDER BY doc_id
+    """
+
+
+_HTML_EXTRACT_ORACLE = _html_extract_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3691,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
                            / (len(toks) - 2), 6) END AS dup3_frac
             FROM t ORDER BY doc_id
         """,
+        "html_extract": _HTML_EXTRACT_ORACLE,
         "langid_heuristic": """
             SELECT CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en'
                         ELSE 'und' END AS lang_guess, count(*) AS n

@@ -82,12 +82,19 @@ def generate_docs(
     html_mean_bytes: int = 256,
     fast_text: bool = False,
     path_offset: int = 0,
+    html_mode: str = "random",
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Returns (docs, expected_text, ref_domains) as pandas DataFrames.
 
     docs: F1 (with corruptions). expected_text: F2 (url → correct sha256 of
     the UNmutated text; mutated rows therefore mismatch). ref_domains: F3
     (all hosts except the deliberate unknown set).
+
+    ``html_mode``: "random" (default — opaque pseudo-random bytes, the
+    historical corpus; keeps every earlier fingerprint/bench comparable) or
+    "real" — html is ``functions.html.render_html_py`` of the PRISTINE text
+    (pre-mutation), so ``ExtractionInvariant`` violations land on exactly
+    the mutated-text rows that ``HashInvariant`` flags.
     """
     plan = plan or CorruptionPlan()
     rng = np.random.RandomState(seed)
@@ -146,18 +153,30 @@ def generate_docs(
     ]
     expected = expected[["url", "text_sha256"]].reset_index(drop=True)
 
+    pristine = texts.copy()
     n_mut = int(n_rows * plan.mutated_text)
     mut_idx = np.unique((np.arange(n_mut) * 999983 + 7) % n_rows) if n_mut else np.array([], dtype=int)
     for i in mut_idx:
         texts[i] = texts[i] + " [CORRUPTED]"
 
-    # html: pseudo-random bytes, length lognormal around html_mean_bytes
-    lens = np.clip(
-        rng.lognormal(mean=np.log(html_mean_bytes), sigma=0.6, size=n_rows), 16, html_mean_bytes * 16
-    ).astype(int)
-    blob = rng.bytes(int(lens.sum()))
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    html = [blob[s : s + l] for s, l in zip(starts, lens)]
+    if html_mode == "real":
+        # rendered from the pristine text: extraction invariant violations
+        # == mutated rows (rng untouched — html is the last rng consumer,
+        # so both modes yield identical urls/ts/lang/text)
+        from slower_whisper_spark.functions.html import render_html_py
+
+        html = [
+            render_html_py(t, variant=i % 8).encode("utf-8")
+            for i, t in enumerate(pristine)
+        ]
+    else:
+        # html: pseudo-random bytes, length lognormal around html_mean_bytes
+        lens = np.clip(
+            rng.lognormal(mean=np.log(html_mean_bytes), sigma=0.6, size=n_rows), 16, html_mean_bytes * 16
+        ).astype(int)
+        blob = rng.bytes(int(lens.sum()))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        html = [blob[s : s + l] for s, l in zip(starts, lens)]
 
     docs = pd.DataFrame(
         {

@@ -146,6 +146,17 @@ def _build_drift(r: dict[str, Any]):
     )
 
 
+def _build_extraction(r: dict):
+    from slower_whisper_spark.rules.invariant import ExtractionInvariant
+
+    return ExtractionInvariant(
+        html_col=r.get("html_column", "html"),
+        text_col=r.get("text_column", "text"),
+        from_binary=r.get("from_binary", True),
+        rule_id=r.get("rule_id"),
+    )
+
+
 def _json_rules():
     import slower_whisper_spark.rules.json_ingest as m
 
@@ -182,6 +193,7 @@ def suite_from_spec(spec: dict[str, Any]):
         "conditional": lambda r: Conditional(r["when"], r["then"], rule_id=r["rule_id"], observed_expr=r.get("observed")),
         "unique": lambda r: _build_unique(r),
         "drift": lambda r: _build_drift(r),
+        "extraction_invariant": lambda r: _build_extraction(r),
         "json_parsable": lambda r: _json_rules().JsonParsable(r["column"], r["schema_ddl"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
         "map_keys_allowed": lambda r: _json_rules().MapKeysAllowed(r["map_expr"], r["allowed_keys"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", True)),
         "map_value_range": lambda r: _json_rules().MapValueRange(r["map_expr"], min_value=r.get("min"), max_value=r.get("max"), rule_id=r.get("rule_id"), allow_null=r.get("allow_null", True)),

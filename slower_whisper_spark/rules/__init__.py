@@ -5,7 +5,7 @@ from slower_whisper_spark.rules.nested import Nested
 from slower_whisper_spark.rules.vectorized import Vectorized
 from slower_whisper_spark.rules.unique import Unique
 from slower_whisper_spark.rules.refint import ForeignKey
-from slower_whisper_spark.rules.invariant import HashInvariant
+from slower_whisper_spark.rules.invariant import ExtractionInvariant, HashInvariant
 from slower_whisper_spark.rules.json_ingest import (
     DiscriminatedUnion,
     JsonParsable,
@@ -38,6 +38,7 @@ __all__ = [
     "Conditional",
     "Unique",
     "ForeignKey",
+    "ExtractionInvariant",
     "HashInvariant",
     "JsonParsable",
     "MapKeysAllowed",

@@ -20,7 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from slower_whisper_spark.rules.base import TableRule
+from slower_whisper_spark.rules.base import RowRule, TableRule
 
 
 class HashInvariant(TableRule):
@@ -125,3 +125,58 @@ class HashInvariant(TableRule):
             .limit(violation_limit)
         )
         return verdicts, violations
+
+
+class ExtractionInvariant(RowRule):
+    """Row-local byte-identity between HTML-extracted text and the stored
+    text column: ``extract_html_text(html) <=> text``.
+
+    The derivable form of the engine's per-row invariant ("byte-identical
+    extracted text per url", BASELINE.json input_hint): unlike
+    ``HashInvariant`` it needs NO golden table and NO join — the whole check
+    is one fused projection inside the scan stage, so at 10^12 rows it adds
+    zero shuffle and folds into pass 1's single wide aggregate. Ancestor:
+    the reference recomputes content hashes and compares to its lockfile
+    (ref: transcription/schema/integrity.py:222-335); here the "recompute"
+    is the HTML extraction itself (functions/html.py documents the
+    supported-subset contract).
+
+    Null semantics: both NULL ⇒ pass (null-safe <=>); one-sided NULL ⇒
+    violation.
+    """
+
+    def __init__(
+        self,
+        html_col: str = "html",
+        text_col: str = "text",
+        from_binary: bool = True,
+        rule_id: str | None = None,
+    ):
+        from slower_whisper_spark.functions.html import extract_html_text_sql
+
+        self.html_col = html_col
+        self.text_col = text_col
+        self.from_binary = from_binary
+        self.rule_id = rule_id or f"extraction_invariant({html_col})"
+        src = f"decode({html_col}, 'UTF-8')" if from_binary else html_col
+        self._extract_sql = extract_html_text_sql(src, "spark")
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "type": "extraction_invariant",
+            "html_column": self.html_col,
+            "text_column": self.text_col,
+            "from_binary": self.from_binary,
+            "rule_id": self.rule_id,
+        }
+
+    def predicate(self) -> Column:
+        return F.expr(f"({self._extract_sql}) <=> {self.text_col}")
+
+    def observed(self) -> Column:
+        from slower_whisper_spark.rules.base import _str
+
+        return _str(F.expr(f"substring({self._extract_sql}, 1, 64)"))
+
+    def expected(self) -> Column:
+        return F.lit(f"extract_html_text({self.html_col}) == {self.text_col}")
