@@ -2797,6 +2797,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["turn_lifecycle_batch"] = q_turn_lifecycle_batch
 
+    def q_url_domain_stats(spark, sf):
+        """URL analytics: per-registered-domain page/host/depth/dedup-key
+        rollup. The test tables carry no url column, so one is synthesized
+        deterministically from doc_id (mixed schemes/cases, multi-part-TLD
+        hosts, default and explicit ports, fragments) and pushed through the
+        GENERIC url functions — try_parse_url host, LITE eTLD+1, path depth,
+        dedup normalization (functions/url.py) — while the oracle recomputes
+        the expected values structurally from the same doc_id arithmetic
+        (ref: the engine keys records on url, BASELINE input_hint; its rules
+        derive hosts ad hoc via parse_url — ref rules/refint.py:69). Exact
+        integer aggregates only; one shuffle on a 4-value domain key."""
+        from slower_whisper_spark.functions import url as U
+
+        docs = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        sfx = F.element_at(
+            F.array(
+                F.lit("example.com"), F.lit("shop.co.uk"),
+                F.lit("news.com.au"), F.lit("example.org"),
+            ),
+            (i % 4 + 1).cast("int"),
+        )
+        scheme = F.when(i % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://"))
+        port = (
+            F.when((i % 5 == 0) & (i % 3 == 0), F.lit(":443"))
+            .when(i % 5 == 0, F.lit(":80"))
+            .when(i % 11 == 0, F.lit(":8080"))
+            .otherwise(F.lit(""))
+        )
+        path = (
+            F.when(i % 3 == 0, F.lit("/"))
+            .when(i % 3 == 1, F.concat(F.lit("/a/"), i.cast("string")))
+            .otherwise(F.concat(F.lit("/a/b/"), i.cast("string")))
+        )
+        frag = F.when(i % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+        url = F.concat(
+            scheme, F.lit("h"), (i % 50).cast("string"), F.lit("."), sfx, port, path, frag
+        )
+        derived = docs.select(
+            U.registered_domain(url).alias("domain"),
+            U.url_host(url).alias("host"),
+            U.path_depth(url).alias("depth"),
+            U.normalize_url(url).alias("norm"),
+        )
+        return (
+            derived.groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.countDistinct("host").alias("n_hosts"),
+                F.sum("depth").alias("sum_depth"),
+                F.countDistinct("norm").alias("n_norm"),
+            )
+            .orderBy("domain")
+        )
+
+    q["url_domain_stats"] = q_url_domain_stats
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -2841,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers",
         # parked when html_extract joined the window
         "waiting_suppliers",
+        # parked when url_domain_stats joined the window
+        "late_ship_orders",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3750,6 +3809,38 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Structural replay of the synthesized-url derivations: domain is the
+        # suffix literal by construction (the LITE eTLD+1 of hN.<sfx> is <sfx>
+        # for all four inventory entries), depth follows doc_id % 3, and the
+        # normalized form re-derives scheme/port/slash/fragment rules from the
+        # same arithmetic instead of re-parsing the string.
+        "url_domain_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                     ['example.com','shop.co.uk','news.com.au','example.org']
+                       [CAST(doc_id % 4 AS INT) + 1] AS sfx,
+                     doc_id % 3 AS m3, doc_id % 5 AS m5,
+                     doc_id % 11 AS m11, doc_id % 50 AS m50
+              FROM documents
+            ), d AS (
+              SELECT sfx AS domain,
+                     'h' || CAST(m50 AS VARCHAR) || '.' || sfx AS host,
+                     CASE m3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS depth,
+                     (CASE WHEN m3 = 0 THEN 'https' ELSE 'http' END)
+                       || '://h' || CAST(m50 AS VARCHAR) || '.' || sfx
+                       || (CASE WHEN m5 <> 0 AND m11 = 0 THEN ':8080' ELSE '' END)
+                       || (CASE m3 WHEN 0 THEN ''
+                                   WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+                                   ELSE '/a/b/' || CAST(doc_id AS VARCHAR) END) AS norm
+              FROM u
+            )
+            SELECT domain,
+                   count(*) AS n_pages,
+                   count(DISTINCT host) AS n_hosts,
+                   CAST(sum(depth) AS BIGINT) AS sum_depth,
+                   count(DISTINCT norm) AS n_norm
+            FROM d GROUP BY domain ORDER BY domain
+        """,
         "langid_heuristic": """
             SELECT CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en'
                         ELSE 'und' END AS lang_guess, count(*) AS n
