@@ -2854,6 +2854,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_domain_stats"] = q_url_domain_stats
 
+    def q_warc_roundtrip(spark, sf):
+        """WARC container roundtrip (sources/warc.py): render each document
+        as a WARC/1.0 record JVM-side (url synthesized from doc_id — the
+        test tables carry none), concatenate records into 8 file-blobs, and
+        push the blobs through the REAL Content-Length-driven record parser
+        (Arrow-batched mapInPandas — the same core read_warc uses per file).
+        Output is one row per recovered record: url, declared length,
+        payload md5, verdict. The oracle never parses WARC — it recomputes
+        url/length/md5 structurally from the source rows, so a green row
+        proves the container loop is byte-identical end-to-end (ref ingest
+        surface: transcription/service_validation.py streamed upload +
+        per-file identity, re-expressed as the CC-style WARC grain)."""
+        from slower_whisper_spark.sources import warc as W
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (i % 50).cast("string"),
+            F.lit(".example.org/p/"), i.cast("string"),
+        )
+        rec = W.render_warc_record(url, F.col("text"))
+        blobs = (
+            docs.select((i % 8).alias("k"), rec.alias("rec"))
+            .groupBy("k")
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("rec")), "")
+                .cast("binary")
+                .alias("blob")
+            )
+        )
+        parsed = W.parse_warc_blobs(blobs, blob_col="blob")
+        return parsed.select(
+            "url",
+            "content_length",
+            F.md5(F.col("payload")).alias("payload_md5"),
+            "verdict",
+        ).orderBy("url")
+
+    q["warc_roundtrip"] = q_warc_roundtrip
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -2900,6 +2940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers",
         # parked when url_domain_stats joined the window
         "late_ship_orders",
+        # parked when warc_roundtrip joined the window
+        "promo_revenue",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3809,6 +3851,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Structural replay of the WARC loop: the oracle derives the expected
+        # record fields from the source rows directly (no container parse),
+        # so equality proves the Spark-side render->concat->parse is
+        # byte-identical and the declared Content-Length is the true UTF-8
+        # octet count.
+        "warc_roundtrip": """
+            SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   md5(text) AS payload_md5,
+                   'ok' AS verdict
+            FROM documents
+            WHERE text IS NOT NULL
+            ORDER BY url
+        """,
         # Structural replay of the synthesized-url derivations: domain is the
         # suffix literal by construction (the LITE eTLD+1 of hN.<sfx> is <sfx>
         # for all four inventory entries), depth follows doc_id % 3, and the

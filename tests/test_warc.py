@@ -1,0 +1,126 @@
+"""WARC source (sources/warc.py): parser core, file roundtrip, blobs."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.sources import warc as W
+
+
+def _record(url: str, payload: bytes, extra: str = "") -> bytes:
+    return (
+        (
+            f"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n"
+            f"{extra}Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def test_parse_content_length_driven():
+    # payload embeds the record marker — Content-Length must protect it
+    tricky = b"inner WARC/1.0\r\n\r\n\r\nstill the same payload"
+    data = _record("http://a/1", b"hello") + _record("http://a/2", tricky)
+    recs = W.parse_warc_bytes(data, file="f.warc")
+    assert [r["verdict"] for r in recs] == ["ok", "ok"]
+    assert recs[0]["url"] == "http://a/1" and recs[0]["payload"] == b"hello"
+    assert recs[1]["payload"] == tricky
+    assert recs[1]["content_length"] == len(tricky)
+    # offsets point back at the version line
+    assert data[recs[1]["offset"] :].startswith(b"WARC/1.0\r\n")
+
+
+def test_parse_malformed_resync_and_truncation():
+    good = _record("http://a/1", b"x" * 10)
+    garbage = b"NOT A RECORD AT ALL\r\n"
+    # declared length overruns the buffer -> malformed, no crash
+    trunc = _record("http://a/3", b"abcdef")[:-10]
+    recs = W.parse_warc_bytes(garbage + good + trunc, file="f")
+    verdicts = [r["verdict"] for r in recs]
+    assert verdicts == ["malformed", "ok", "malformed"]
+    assert recs[1]["url"] == "http://a/1"
+    # missing Content-Length -> malformed, resync to next record
+    noclen = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://b/\r\n\r\n"
+        + b"junkjunk" + _record("http://a/4", b"ok!")
+    )
+    recs2 = W.parse_warc_bytes(noclen)
+    assert [r["verdict"] for r in recs2] == ["malformed", "ok"]
+    assert recs2[1]["url"] == "http://a/4"
+
+
+def test_file_roundtrip(spark, docs_small, tmp_path):
+    docs, _, _ = docs_small
+    src = (
+        docs.where(F.col("url").isNotNull() & F.col("text").isNotNull())
+        .select("url", "text")
+        .limit(500)
+    )
+    out = str(tmp_path / "warc_plain")
+    manifest = W.write_warc_files(
+        src, out, file_key=F.abs(F.hash("url")) % 4
+    ).toPandas()
+    assert manifest["n_records"].sum() == src.count()
+    assert len(W.list_warc_files(out)) == len(manifest)
+
+    back = W.read_warc(spark, out)
+    assert back.where(F.col("verdict") != "ok").count() == 0
+    # byte-identical payload per url
+    j = (
+        back.select("url", F.col("payload").cast("string").alias("got"))
+        .join(src.withColumnRenamed("text", "want"), "url")
+    )
+    assert j.count() == src.count()
+    assert j.where(F.col("got") != F.col("want")).count() == 0
+    # (file, offset) locator: re-read one record straight from its offset
+    row = back.orderBy("file", "offset").collect()[3]
+    with open(f"{out}/{row.file}", "rb") as fh:
+        fh.seek(row.offset)
+        rec = W.parse_warc_bytes(fh.read())[0]
+    assert rec["url"] == row.url and rec["payload"] == bytes(row.payload)
+
+
+def test_gz_multimember_roundtrip(spark, docs_small, tmp_path):
+    docs, _, _ = docs_small
+    src = (
+        docs.where(F.col("url").isNotNull() & F.col("text").isNotNull())
+        .select("url", "text")
+        .limit(120)
+    )
+    out = str(tmp_path / "warc_gz")
+    W.write_warc_files(src, out, file_key=F.lit(0), compress=True).collect()
+    # make the file multi-member (CC's per-record-member layout analog)
+    files = W.list_warc_files(out)
+    assert files and files[0].endswith(".warc.gz")
+    extra = gzip.compress(_record("http://extra/1", b"tail member"), mtime=0)
+    with open(files[0], "ab") as fh:
+        fh.write(extra)
+    back = W.read_warc(spark, out)
+    assert back.where(F.col("verdict") == "ok").count() == 121
+    assert back.where(F.col("url") == "http://extra/1").count() == 1
+
+
+def test_parse_blobs_matches_render(spark, docs_small):
+    docs, _, _ = docs_small
+    src = (
+        docs.where(F.col("url").isNotNull() & F.col("text").isNotNull())
+        .select("url", "text")
+        .limit(200)
+    )
+    blobs = src.select(
+        (F.abs(F.hash("url")) % 8).alias("k"),
+        W.render_warc_record(F.col("url"), F.col("text")).alias("rec"),
+    ).groupBy("k").agg(
+        F.array_join(F.array_sort(F.collect_list("rec")), "").cast("binary").alias("blob")
+    )
+    parsed = W.parse_warc_blobs(blobs, blob_col="blob")
+    assert parsed.where(F.col("verdict") != "ok").count() == 0
+    j = parsed.select("url", F.col("payload").cast("string").alias("got")).join(
+        src.withColumnRenamed("text", "want"), "url"
+    )
+    assert j.count() == 200
+    assert j.where(F.col("got") != F.col("want")).count() == 0
