@@ -2894,6 +2894,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_roundtrip"] = q_warc_roundtrip
 
+    def q_cdx_index(spark, sf):
+        """CDX url-index build over the WARC loop (sources/warc.py
+        cdx_index): render docs into 8 record-sorted container blobs, parse
+        with the real Content-Length parser, and index the records by LITE
+        SURT with (file, offset, length) locators. The oracle PREDICTS the
+        byte offsets without ever touching a container: record length is
+        133 fixed header bytes + len(url) + len(digits(Content-Length)) +
+        payload bytes, and within a file records sort by url (the record
+        strings share their prefix up to the URI), so offset = windowed
+        cumulative record length minus own length. A green row therefore
+        pins the parser's offset accounting byte-for-byte — the property a
+        seek-based record fetch (the cc-index contract) depends on."""
+        from slower_whisper_spark.sources import warc as W
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (i % 50).cast("string"),
+            F.lit(".example.org/p/"), i.cast("string"),
+        )
+        rec = W.render_warc_record(url, F.col("text"))
+        blobs = (
+            docs.select((i % 8).cast("string").alias("warc_file"), rec.alias("rec"))
+            .groupBy("warc_file")
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("rec")), "")
+                .cast("binary")
+                .alias("blob")
+            )
+        )
+        records = W.parse_warc_blobs(blobs, blob_col="blob", file_col="warc_file")
+        return W.cdx_index(records).orderBy("surt", "url")
+
+    q["cdx_index"] = q_cdx_index
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -2942,6 +2977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_ship_orders",
         # parked when warc_roundtrip joined the window
         "promo_revenue",
+        # parked when cdx_index joined the window
+        "revenue_forecast",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3851,6 +3888,34 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Offset-predicting oracle for the CDX index: record byte length is
+        # 133 fixed bytes + len(url) + len(str(content_length)) + payload
+        # bytes (see render_warc_record), records within a file sort by url,
+        # so each offset is a window cumsum — computed with zero container
+        # parsing. SURT is derived structurally from the doc_id host
+        # arithmetic.
+        "cdx_index": """
+            WITH s AS (
+              SELECT doc_id, strlen(text) AS clen,
+                     'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id % 8 AS VARCHAR) AS file
+              FROM documents WHERE text IS NOT NULL
+            ), r AS (
+              SELECT *,
+                     133 + strlen(url) + strlen(CAST(clen AS VARCHAR)) + clen
+                       AS reclen
+              FROM s
+            )
+            SELECT 'org,example,h' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/p/' || CAST(doc_id AS VARCHAR) AS surt,
+                   url, file,
+                   CAST(SUM(reclen) OVER (PARTITION BY file ORDER BY url
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - reclen AS BIGINT) AS rec_offset,
+                   CAST(clen AS BIGINT) AS length
+            FROM r ORDER BY surt, url
+        """,
         # Structural replay of the WARC loop: the oracle derives the expected
         # record fields from the source rows directly (no container parse),
         # so equality proves the Spark-side render->concat->parse is

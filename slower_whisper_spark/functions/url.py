@@ -77,6 +77,23 @@ def registered_domain(c: Column | str) -> Column:
     )
 
 
+def surt_key(c: Column | str) -> Column:
+    """LITE SURT (Sort-friendly URI Reordering Transform, the pywb/
+    OpenWayback CDX key): reversed comma-joined host labels + ')' +
+    lowercased path[?query]; fragment dropped, empty path canonicalized to
+    '/'. Sorting on it clusters a domain's pages contiguously, which is
+    what makes a range-partitioned url index seekable. NULL for urls with
+    no parseable host."""
+    host = url_host(_c(c))
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    u = F.regexp_replace(_c(c), r"#.*$", "")
+    tail = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)?", 1)
+    tail = F.when(tail == "", F.lit("/")).otherwise(F.lower(tail))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")"), tail)
+    )
+
+
 def normalize_url(c: Column | str) -> Column:
     """Canonical form for exact-dedup keys: lowercase scheme+host, strip
     fragment, strip default ports (:80 http / :443 https), drop trailing

@@ -264,3 +264,32 @@ def write_warc_files(
 
 def list_warc_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "part-*.warc*")))
+
+
+def cdx_index(records: DataFrame, *, num_shards: int | None = None) -> DataFrame:
+    """CDX-style lookup index over parsed WARC records: one row per ``ok``
+    record keyed by SURT with its ``(file, offset, length)`` locator — the
+    Common Crawl cc-index contract (a url lookup seeks straight to one
+    record without touching the corpus).
+
+    Scale shape: ``repartitionByRange`` on (surt, url) + sort-within-
+    partition gives globally range-ordered shards — domain-contiguous, so
+    a prefix lookup ('org,example,)' …) prunes to one shard and
+    binary-searches inside it; writing the result as parquet preserves the
+    order via row-group min/max on surt. The range exchange samples keys
+    once (AQE-sized when ``num_shards`` is None)."""
+    from slower_whisper_spark.functions.url import surt_key
+
+    idx = records.where(F.col("verdict") == "ok").select(
+        surt_key(F.col("url")).alias("surt"),
+        "url",
+        "file",
+        F.col("offset").alias("rec_offset"),
+        F.col("content_length").alias("length"),
+    )
+    parts = (
+        idx.repartitionByRange(num_shards, "surt", "url")
+        if num_shards
+        else idx.repartitionByRange("surt", "url")
+    )
+    return parts.sortWithinPartitions("surt", "url")

@@ -55,6 +55,18 @@ def test_normalize_url(spark):
         assert r["got"] == r["want"], (r["got"], r["want"])
 
 
+def test_surt_key(spark):
+    rows = [
+        ("https://news.bbc.co.uk/A/B?x=1#f", "uk,co,bbc,news)/a/b?x=1"),
+        ("http://Example.COM", "com,example)/"),
+        ("https://example.org/", "org,example)/"),
+        ("no host here", None),
+    ]
+    df = spark.createDataFrame(rows, "u string, want string")
+    for r in df.select("want", U.surt_key("u").alias("got")).collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
 def test_url_stats_rollup(spark, docs_small):
     docs, _, _ = docs_small
     st = U.url_stats(docs).toPandas()

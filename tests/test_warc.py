@@ -104,6 +104,29 @@ def test_gz_multimember_roundtrip(spark, docs_small, tmp_path):
     assert back.where(F.col("url") == "http://extra/1").count() == 1
 
 
+def test_cdx_index_seekable(spark, docs_small, tmp_path):
+    docs, _, _ = docs_small
+    src = (
+        docs.where(F.col("url").isNotNull() & F.col("text").isNotNull())
+        .select("url", "text")
+        .limit(300)
+    )
+    out = str(tmp_path / "warc_cdx")
+    W.write_warc_files(src, out, file_key=F.abs(F.hash("url")) % 3).collect()
+    idx = W.cdx_index(W.read_warc(spark, out), num_shards=2)
+    pdf = idx.toPandas()
+    assert len(pdf) == src.count()
+    # globally range-ordered: concatenating shards in order yields sorted keys
+    keys = list(zip(pdf["surt"], pdf["url"]))
+    assert keys == sorted(keys)
+    # the locator contract: seek to (file, rec_offset), read, get THAT url
+    row = pdf.iloc[len(pdf) // 2]
+    with open(f"{out}/{row.file}", "rb") as fh:
+        fh.seek(int(row.rec_offset))
+        rec = W.parse_warc_bytes(fh.read())[0]
+    assert rec["url"] == row.url and rec["content_length"] == int(row.length)
+
+
 def test_parse_blobs_matches_render(spark, docs_small):
     docs, _, _ = docs_small
     src = (
