@@ -2929,6 +2929,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdx_index"] = q_cdx_index
 
+    def q_quality_filter(spark, sf):
+        """C4/Gopher-style quality-filter chain (operators/quality.py):
+        token-count bounds, punctuation cap, stopword floor, duplicate-
+        3-gram cap, language allowlist composed into one keep/drop verdict
+        with EVERY tripped reason reported in fixed order. All row-local
+        JVM expressions — the chain folds into the scan, zero shuffle at
+        any scale. Thresholds here are tuned so the test corpus trips a
+        mix of reasons (short docs, low-stopword docs, non-en langs).
+        Oracle re-implements each signal in DuckDB list algebra (ref
+        acceptance chain: transcription/service_validation.py named
+        rejection reasons -> one verdict)."""
+        from slower_whisper_spark.operators.quality import quality_filter
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        out = quality_filter(
+            docs,
+            lang_col="lang",
+            min_tokens=20,
+            max_tokens=80,
+            max_punct_ratio=0.3,
+            min_stopword_ratio=0.05,
+            max_dup3_fraction=0.05,
+            allowed_langs=("en",),
+        )
+        return out.select(
+            "doc_id",
+            F.concat_ws(",", "reasons").alias("reasons"),
+            "verdict",
+        ).orderBy("doc_id")
+
+    q["quality_filter"] = q_quality_filter
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -2979,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue",
         # parked when cdx_index joined the window
         "revenue_forecast",
+        # parked when quality_filter joined the window
+        "local_supplier_volume",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3888,6 +3922,43 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # DuckDB list-algebra re-implementation of every chain signal;
+        # reason order mirrors operators/quality.py REASONS.
+        "quality_filter": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                     length(regexp_replace(text, '[^.,;:!?"''()\\[\\]{}]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS punct
+              FROM documents WHERE text IS NOT NULL
+            ), s AS (
+              SELECT doc_id, lang, len(toks) AS n, punct,
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','in','is','that','it','for','was'],
+                       lower(x))))::DOUBLE / greatest(len(toks), 1) AS swr,
+                     CASE WHEN len(toks) >= 3 THEN
+                       1.0 - len(list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                             / (len(toks) - 2) END AS dup3
+              FROM t
+            ), r AS (
+              SELECT doc_id,
+                     list_filter([
+                       CASE WHEN n < 20 THEN 'too_short' END,
+                       CASE WHEN n > 80 THEN 'too_long' END,
+                       CASE WHEN punct > 0.3 THEN 'high_punct' END,
+                       CASE WHEN swr < 0.05 THEN 'low_stopword' END,
+                       CASE WHEN dup3 > 0.05 THEN 'repetitive' END,
+                       CASE WHEN lang IS NULL OR lang <> 'en' THEN 'bad_lang' END
+                     ], x -> x IS NOT NULL) AS reasons
+              FROM s
+            )
+            SELECT doc_id, COALESCE(array_to_string(reasons, ','), '') AS reasons,
+                   CASE WHEN len(reasons) = 0 THEN 'keep' ELSE 'drop' END AS verdict
+            FROM r ORDER BY doc_id
+        """,
         # Offset-predicting oracle for the CDX index: record byte length is
         # 133 fixed bytes + len(url) + len(str(content_length)) + payload
         # bytes (see render_warc_record), records within a file sort by url,

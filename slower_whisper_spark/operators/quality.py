@@ -1,0 +1,115 @@
+"""Training-corpus quality-filter chain (C4 / Gopher / RefinedWeb shape):
+compose the package's row-local text signals into one keep/drop verdict
+with named reasons, plus a one-pass drop-accounting rollup.
+
+Engine analog of the reference's per-file acceptance pipeline (ref:
+transcription/service_validation.py — a fixed chain of named rejection
+reasons ending in one verdict; transcription/models.py quality fields),
+re-expressed as the webtext pre-training filter every LLM data pipeline
+runs between crawl and tokenizer.
+
+Scale design: every signal is a row-local JVM expression (token counts,
+punctuation/stopword ratios, duplicate-n-gram fraction, eTLD+1 blocklist
+— see functions/text.py, functions/url.py), so the whole chain folds into
+the scan: zero shuffle, zero Python, whole-stage codegen, and Catalyst
+prunes unreferenced columns. At 10^12 rows the filter costs one pass;
+``quality_filter_stats`` adds a single global aggregate of booleans (a
+few hundred bytes per task of partial sums) — reason accounting never
+explodes the reasons array.
+
+Reason vocabulary (evaluation order is the output order, all evaluated —
+a row reports EVERY reason it trips, the Gopher-report convention):
+``too_short | too_long | high_punct | low_stopword | repetitive |
+bad_lang | blocked_domain``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.functions.text import (
+    duplicate_ngram_fraction,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+REASONS = (
+    "too_short", "too_long", "high_punct", "low_stopword",
+    "repetitive", "bad_lang", "blocked_domain",
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    url_col: str | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.05,
+    max_dup3_fraction: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en",),
+    blocked_domains: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append ``reasons array<string>`` (every tripped check, fixed order)
+    and ``verdict`` ('keep' | 'drop') to ``df``.
+
+    Language comes from ``lang_col`` when the table already carries one
+    (the usual case — langid ran at ingest); pass ``lang_col=None`` to
+    derive it with the stopword-vote ``lang_id``. NULL/unknown language is
+    a drop (``bad_lang``), the conservative pre-training default. The
+    domain blocklist keys on LITE eTLD+1 so one entry covers every host
+    under a registered domain.
+    """
+    t = F.col(text_col)
+    n = token_count(t)
+    checks: list[tuple[str, Column]] = [
+        ("too_short", n < int(min_tokens)),
+        ("too_long", n > int(max_tokens)),
+        ("high_punct", punct_ratio(t) > float(max_punct_ratio)),
+        ("low_stopword", stopword_ratio(t) < float(min_stopword_ratio)),
+        ("repetitive", duplicate_ngram_fraction(t, 3) > float(max_dup3_fraction)),
+    ]
+    if lang_col is not None:
+        lang = F.col(lang_col)
+    else:
+        from slower_whisper_spark.functions.text import lang_id
+
+        lang = lang_id(t)
+    checks.append(
+        ("bad_lang", ~F.coalesce(lang.isin(*allowed_langs), F.lit(False)))
+    )
+    if url_col is not None and blocked_domains:
+        from slower_whisper_spark.functions.url import registered_domain
+
+        checks.append(
+            ("blocked_domain", registered_domain(url_col).isin(*blocked_domains))
+        )
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("reasons", reasons).withColumn(
+        "verdict", F.when(F.size("reasons") == 0, "keep").otherwise("drop")
+    )
+
+
+def quality_filter_stats(filtered: DataFrame) -> DataFrame:
+    """One-row drop accounting from ``quality_filter`` output in a single
+    global aggregate: total, kept, dropped, and a per-reason trip count
+    (rows can trip several reasons, so reason counts exceed dropped —
+    documented Gopher-report semantics). No explode; booleans sum as ints."""
+    aggs = [
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("verdict") == "keep").cast("long")).alias("kept"),
+        F.sum((F.col("verdict") == "drop").cast("long")).alias("dropped"),
+    ]
+    for r in REASONS:
+        aggs.append(
+            F.sum(F.array_contains("reasons", r).cast("long")).alias(f"n_{r}")
+        )
+    return filtered.agg(*aggs)

@@ -1,0 +1,77 @@
+"""Quality-filter chain (operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.operators.quality import quality_filter, quality_filter_stats
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, url string")
+    out = quality_filter(df, lang_col="lang", **kw)
+    return {r.doc_id: (r.verdict, list(r.reasons)) for r in out.collect()}
+
+
+def test_reasons_and_verdicts(spark):
+    good = "the cat sat and looked out of the window to see that it was warm for a while"
+    rows = [
+        (1, good, "en", None),
+        (2, "tiny doc", "en", None),                      # too_short
+        (3, good, "fr", None),                            # bad_lang
+        (4, "x " * 40, "en", None),                       # low_stopword + repetitive
+        (5, good, None, None),                            # NULL lang -> bad_lang
+        (6, "", "en", None),                              # empty -> too_short (+low_stopword)
+    ]
+    got = _run(spark, rows, min_tokens=5, min_stopword_ratio=0.05, max_dup3_fraction=0.3)
+    assert got[1] == ("keep", [])
+    assert got[2] == ("drop", ["too_short", "low_stopword"])
+    assert got[3] == ("drop", ["bad_lang"])
+    assert got[4][0] == "drop" and got[4][1] == ["low_stopword", "repetitive"]
+    assert got[5] == ("drop", ["bad_lang"])
+    assert got[6][0] == "drop" and "too_short" in got[6][1]
+
+
+def test_too_long_and_punct(spark):
+    rows = [
+        (1, "the " * 30 + "end", "en", None),             # 31 tokens
+        (2, 'the "a"!! ((b)) ,,;;::!! of!!!', "en", None),
+    ]
+    got = _run(spark, rows, min_tokens=1, max_tokens=20, max_punct_ratio=0.2,
+               min_stopword_ratio=0.0, max_dup3_fraction=1.0)
+    assert "too_long" in got[1][1]
+    assert "high_punct" in got[2][1]
+
+
+def test_blocked_domain_and_derived_lang(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was that good for all of us", "xx",
+         "https://spam.example.com/p/1"),
+        (2, "the cat sat on the mat and it was that good for all of us", "xx",
+         "https://ok.example.org/p/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, url string")
+    out = quality_filter(
+        df, lang_col=None, url_col="url", min_tokens=5,
+        min_stopword_ratio=0.0, blocked_domains=("example.com",),
+    )
+    got = {r.doc_id: (r.verdict, list(r.reasons)) for r in out.collect()}
+    # lang derived via stopword vote -> en, so the blocklist is the only trip
+    assert got[1] == ("drop", ["blocked_domain"])
+    assert got[2] == ("keep", [])
+
+
+def test_stats_one_pass(spark, docs_small):
+    docs, _, _ = docs_small
+    out = quality_filter(
+        docs.where(F.col("text").isNotNull()), lang_col="lang",
+        min_tokens=20, max_tokens=80, min_stopword_ratio=0.05,
+    )
+    st = quality_filter_stats(out).collect()[0]
+    assert st.total == st.kept + st.dropped
+    # reason trips can exceed dropped (multi-reason rows), never undershoot
+    trips = sum(st[f"n_{r}"] for r in
+                ("too_short", "too_long", "high_punct", "low_stopword",
+                 "repetitive", "bad_lang", "blocked_domain"))
+    assert trips >= st.dropped > 0
+    assert st.kept > 0
