@@ -2961,6 +2961,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter"] = q_quality_filter
 
+    def q_crawl_delta(spark, sf):
+        """Recrawl snapshot diff (operators/delta.py): old = the corpus,
+        new = a deterministic mutation (doc_id%7 removed, doc_id%5 text
+        appended, doc_id%11 re-added under a fresh path), both keyed on a
+        synthesized url. The REAL full-outer fingerprint join classifies
+        every url added/removed/changed/unchanged; the oracle never joins —
+        it derives each verdict from the doc_id arithmetic alone, so a
+        green row proves the join semantics (membership sentinels,
+        null-safe fp compare) rather than replaying them (ref incremental
+        surface: manifest skip-existing diff, run orchestration)."""
+        from slower_whisper_spark.operators.delta import snapshot_delta
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (i % 50).cast("string"),
+            F.lit(".example.org/p/"), i.cast("string"),
+        )
+        old = docs.select(url.alias("url"), "text")
+        kept = docs.where(i % 7 != 0).select(
+            url.alias("url"),
+            F.when(i % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        added = docs.where(i % 11 == 0).select(
+            F.concat(
+                F.lit("https://h"), (i % 50).cast("string"),
+                F.lit(".example.org/p/a"), i.cast("string"),
+            ).alias("url"),
+            F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        )
+        d = snapshot_delta(old, kept.unionByName(added), key_col="url")
+        return d.select("url", "verdict").orderBy("url")
+
+    q["crawl_delta"] = q_crawl_delta
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3013,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast",
         # parked when quality_filter joined the window
         "local_supplier_volume",
+        # parked when crawl_delta joined the window
+        "nested_segment_bounds",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3922,6 +3961,28 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Join-free verdict oracle: every url's fate follows from the doc_id
+        # residues that built the two snapshots, so the diff join is proven
+        # against pure arithmetic.
+        "crawl_delta": """
+            WITH o AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                        WHEN doc_id % 5 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS verdict
+            FROM o
+            UNION ALL
+            SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.org/p/a' || CAST(doc_id AS VARCHAR) AS url,
+                   'added' AS verdict
+            FROM documents WHERE text IS NOT NULL AND doc_id % 11 = 0
+            ORDER BY url
+        """,
         # DuckDB list-algebra re-implementation of every chain signal;
         # reason order mirrors operators/quality.py REASONS.
         "quality_filter": """
