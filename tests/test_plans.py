@@ -296,3 +296,57 @@ def test_drift_fold_verdict_matches_column_semantics(spark):
         psi += (p - qq) * math.log(p / qq)
     assert row["passed"] is False
     assert row["observed"] == f"psi={round(psi, 6)}"
+
+
+def test_quality_filter_chain_is_shuffle_free(docs_parquet):
+    """The whole filter chain must fold into the scan: no Exchange, no
+    Python eval, and only the referenced columns read from parquet."""
+    from slower_whisper_spark.operators.quality import quality_filter
+    from slower_whisper_spark.plans import explain_str, read_schema_columns
+
+    out = quality_filter(
+        docs_parquet.where(F.col("text").isNotNull()), lang_col="lang"
+    ).select("url", "verdict", "reasons")
+    plan = explain_str(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    cols = read_schema_columns(out)
+    assert "html" not in cols, cols
+
+
+def test_cdx_index_range_partitions(spark):
+    """The CDX build must exchange by RANGE on (surt, url) — the property
+    that makes shards domain-contiguous and prefix-seekable."""
+    from slower_whisper_spark.plans import explain_str
+    from slower_whisper_spark.sources import warc as W
+
+    df = spark.createDataFrame(
+        [("f", 0, "https://a.example.com/x", "resource", "d", "t", 3, b"abc", "ok")],
+        W.WARC_SCHEMA,
+    )
+    plan = explain_str(W.cdx_index(df))
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_snapshot_delta_shuffles_fingerprints_not_bodies(docs_parquet):
+    """The diff join's exchanges must carry (url, fp) only — document
+    bodies stay scan-side."""
+    from slower_whisper_spark.operators.delta import snapshot_delta
+    from slower_whisper_spark.plans import explain_str
+
+    old = docs_parquet.select("url", "text")
+    new = docs_parquet.select("url", F.concat("text", F.lit("x")).alias("text"))
+    plan = explain_str(snapshot_delta(old, new))
+    # md5 is computed below the exchange: no raw text column in any
+    # Exchange input attribute list (formatted mode prints each node's
+    # "Input [n]: [...]" on the line after its "(k) Exchange" header)
+    lines = plan.splitlines()
+    exchange_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines[:-1])
+        if ln.strip().endswith("Exchange") and "Input" in lines[i + 1]
+    ]
+    assert exchange_inputs, plan
+    for inp in exchange_inputs:
+        assert "text#" not in inp, inp
+        assert "_fp#" in inp or "url#" in inp, inp
