@@ -325,6 +325,62 @@ def run_media_bench(spark) -> dict:
     }
 
 
+def run_warc_bench(spark, paths) -> dict:
+    """WARC ingest throughput: Content-Length record parse (the real
+    read_warc core, Arrow-batched) over a cached shard table rendered once
+    from the bench webtext corpus. Reported as records/sec and payload
+    MB/sec — the per-executor number that sizes a Common-Crawl-scale scan
+    (90k files × this rate × executors)."""
+    from pyspark.sql import functions as F
+
+    from slower_whisper_spark.sources.warc import parse_warc_blobs, render_warc_record
+
+    n_target = int(os.environ.get("SWS_BENCH_WARC_DOCS", 250_000))
+    rows_env = os.environ.get("SWS_BENCH_ROWS", "sf")
+    path = os.path.join(BENCH_CACHE, f"warc_blobs_n{n_target}_r{rows_env}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = (
+            spark.read.parquet(paths["docs"])
+            .where(F.col("url").isNotNull() & F.col("text").isNotNull())
+            .select("url", "text")
+        )
+        total = docs.count()
+        mod = max(1, total // n_target)
+        sub = docs.where(F.abs(F.xxhash64("url")) % mod == 0)
+        blobs = (
+            sub.select(
+                (F.abs(F.xxhash64("url")) % 256).alias("k"),
+                render_warc_record(F.col("url"), F.col("text")).alias("rec"),
+            )
+            .groupBy("k")
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("rec")), "")
+                .cast("binary")
+                .alias("blob")
+            )
+        )
+        blobs.coalesce(8).write.mode("overwrite").parquet(path)
+    shards = spark.read.parquet(path)
+    t0 = time.monotonic()
+    recs = parse_warc_blobs(shards, blob_col="blob")
+    row = recs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("content_length").alias("payload_bytes"),
+        F.sum((F.col("verdict") != "ok").cast("long")).alias("bad"),
+    ).collect()[0]
+    wall = time.monotonic() - t0
+    return {
+        "warc_records": int(row.n),
+        "warc_payload_mb": round(int(row.payload_bytes or 0) / 1e6, 1),
+        "warc_malformed": int(row.bad),
+        "warc_wall_sec": round(wall, 3),
+        "warc_records_per_sec": round(int(row.n) / wall, 1) if wall > 0 else 0.0,
+        "warc_payload_mb_per_sec": (
+            round(int(row.payload_bytes or 0) / 1e6 / wall, 1) if wall > 0 else 0.0
+        ),
+    }
+
+
 HEADLINE_QUERIES = [
     "pricing_summary",
     "refint_counts",
@@ -405,6 +461,7 @@ def main() -> None:
         queries, queries_cold = run_query_bench(spark, sf_dir)
     llm_ops = run_llm_ops_bench(spark, paths) if os.environ.get("SWS_BENCH_LLM_OPS") else {}
     media = {} if os.environ.get("SWS_BENCH_SKIP_MEDIA") else run_media_bench(spark)
+    warc = {} if os.environ.get("SWS_BENCH_SKIP_WARC") else run_warc_bench(spark, paths)
 
     probe = {}
     if os.environ.get("SWS_BENCH_PROBE"):
@@ -448,6 +505,7 @@ def main() -> None:
                 "master": master,
                 **llm_ops,
                 **media,
+                **warc,
                 **probe,
             }
         )
@@ -486,6 +544,8 @@ def scaling_main() -> None:
             # ~5s at BOTH levels — pure fixed cost, a meaningless ratio
             env.setdefault("SWS_BENCH_ANN_ROWS", "4000000")
             env.setdefault("SWS_BENCH_PROBE", "1")
+            # keep the scaling rep workload identical to rounds 3-5
+            env.setdefault("SWS_BENCH_SKIP_WARC", "1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -508,6 +568,7 @@ def scaling_main() -> None:
             env["SWS_BENCH_MASTER"] = f"local[{n}]"
             env["SWS_BENCH_SEQ"] = "1"
             env["SWS_BENCH_SKIP_QUERIES"] = "1"
+            env["SWS_BENCH_SKIP_WARC"] = "1"
             env.setdefault("SWS_BENCH_ROWS", "8000000")
             env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             env.pop("SWS_BENCH_LLM_OPS", None)
