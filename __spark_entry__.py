@@ -2998,6 +2998,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_delta"] = q_crawl_delta
 
+    def q_paragraph_dedup(spark, sf):
+        """CCNet-style boilerplate removal (operators/dedup.py
+        paragraph_dedup): documents are given newline-joined paragraphs
+        (their own text plus planted boilerplate lines on doc_id%3 / %2),
+        every paragraph hash occurring in >=2 distinct docs is dropped, and
+        the doc is rebuilt from survivors in order. The planted lines are
+        boilerplate by construction; a document's OWN text also vanishes
+        when the corpus duplicates it (datagen plants dup texts), so the
+        oracle re-runs the same spec in DuckDB list algebra rather than
+        assuming which paragraphs survive. Output md5 keeps rows small."""
+        from slower_whisper_spark.operators.dedup import paragraph_dedup
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        composed = F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit("\nsubscribe to our newsletter")).otherwise(F.lit("")),
+            F.when(i % 2 == 0, F.lit("\ncopyright footer 2026")).otherwise(F.lit("")),
+        )
+        src = docs.select("doc_id", composed.alias("text"))
+        out = paragraph_dedup(src, min_docs=2)
+        return out.select(
+            "doc_id",
+            F.md5(F.col("text_dedup")).alias("out_md5"),
+            "n_paras",
+            "n_kept",
+            "n_removed",
+        ).orderBy("doc_id")
+
+    q["paragraph_dedup"] = q_paragraph_dedup
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3052,6 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume",
         # parked when crawl_delta joined the window
         "nested_segment_bounds",
+        # parked when paragraph_dedup joined the window
+        "nested_child_rollup",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3961,6 +3994,51 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # DuckDB list-algebra re-run of the paragraph-dedup spec (explode,
+        # normalized-hash document frequency >= 2, ordered rebuild).
+        "paragraph_dedup": """
+            WITH src AS (
+              SELECT doc_id,
+                     text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'subscribe to our newsletter'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'copyright footer 2026'
+                               ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL
+            ), base AS (
+              SELECT doc_id, string_split(t, chr(10)) AS arr FROM src
+            ), paras AS (
+              SELECT doc_id, i AS idx, arr[i] AS para,
+                     md5(trim(lower(arr[i]))) AS h
+              FROM (SELECT doc_id, arr,
+                           unnest(generate_series(1, len(arr))) AS i
+                    FROM base)
+              WHERE trim(arr[i]) <> ''
+            ), boiler AS (
+              SELECT h FROM paras GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT * FROM paras WHERE h NOT IN (SELECT h FROM boiler)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY idx) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), np AS (
+              SELECT doc_id,
+                     len(list_filter(arr, x -> trim(x) <> '')) AS n_paras
+              FROM base
+            )
+            SELECT np.doc_id,
+                   md5(COALESCE(r.text_dedup, '')) AS out_md5,
+                   CAST(np.n_paras AS BIGINT) AS n_paras,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(np.n_paras - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM np LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id
+        """,
         # Join-free verdict oracle: every url's fate follows from the doc_id
         # residues that built the two snapshots, so the diff join is proven
         # against pure arithmetic.

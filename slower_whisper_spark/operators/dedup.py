@@ -589,3 +589,76 @@ def neardup_clusters(
             (F.coalesce("comp", "node") == F.col("node")).cast("int").alias("is_rep"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    normalize: bool = True,
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate-paragraph removal: drop every
+    paragraph whose (normalized) hash occurs in >= ``min_docs`` DISTINCT
+    documents, and reconstruct each document from its surviving paragraphs
+    in original order (ref dedup ancestry: the reference's segment-level
+    duplicate handling, transcription/models.py segment identity).
+
+    Output: ``(id, text_dedup, n_paras, n_kept, n_removed)`` — one row per
+    input row; a document whose every paragraph is boilerplate survives
+    with ``text_dedup=''``. Blank paragraphs are dropped (documented: the
+    reconstruction is the non-blank paragraph sequence).
+
+    Scale: paragraphs shuffle once on the 16-byte hash (explode -> count
+    distinct docs). The boilerplate set is the high-document-frequency
+    tail — tiny by Zipf — so the removal join BROADCASTS it by default and
+    paragraph text never shuffles; set ``broadcast_boilerplate=False`` for
+    the shuffle anti-join when the set is adversarially large. The final
+    per-doc regroup shuffles (id, surviving paragraph) pairs only.
+    """
+    para_raw = F.col("_para")
+    key_src = F.trim(F.lower(para_raw)) if normalize else para_raw
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+        )
+        .where(F.trim("_para") != "")
+        .withColumn("_h", F.md5(key_src))
+    )
+    boiler = (
+        paras.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select("_h")
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept = paras.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_paras = F.size(
+        F.filter(F.split(F.col(text_col), sep), lambda x: F.trim(x) != "")
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), n_paras.alias("n_paras"))
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
