@@ -3029,6 +3029,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["paragraph_dedup"] = q_paragraph_dedup
 
+    def q_robots_verdicts(spark, sf):
+        """robots.txt politeness gate (operators/robots.py): four synthetic
+        per-domain robots bodies (block-all / block-subtree / block-with-
+        longest-match-allow-carve-out / other-agent-only) are parsed by the
+        REAL Arrow-batched parser and broadcast-joined onto pages whose
+        urls derive from doc_id; verdicts follow Google longest-match with
+        allow-wins-ties. The oracle derives each page's fate from the
+        doc_id arithmetic alone (which domain, which path subtree, whether
+        the path string enters the allow carve-out) — no parsing, no join."""
+        from slower_whisper_spark.operators.robots import parse_robots, robots_verdicts
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        # domain from i%4, path subtree from i%8>=4 — independent halves per
+        # domain, so every body's branches are exercised; the LITE eTLD+1 of
+        # www.exampleK.org is exampleK.org, which is what the robots table
+        # keys on
+        domain = F.concat(F.lit("example"), (i % 4).cast("string"), F.lit(".org"))
+        path = F.concat(
+            F.when(i % 8 >= 4, F.lit("/q/")).otherwise(F.lit("/p/")),
+            i.cast("string"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://www."), domain, path).alias("url")
+        )
+        bodies = [
+            ("example0.org", "User-agent: *\nDisallow: /"),
+            ("example1.org", "# block the q subtree\nUser-agent: *\nDisallow: /q/"),
+            (
+                "example2.org",
+                "User-agent: *\nDisallow: /q/\nAllow: /q/1",
+            ),
+            (
+                "example3.org",
+                "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nAllow: /",
+            ),
+        ]
+        robots = spark.createDataFrame(bodies, "domain string, body string")
+        v = robots_verdicts(pages, parse_robots(robots), agent="*")
+        return v.select("url", "verdict", "matched_rule", "matched_prefix").orderBy("url")
+
+    q["robots_verdicts"] = q_robots_verdicts
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3085,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_segment_bounds",
         # parked when paragraph_dedup joined the window
         "nested_child_rollup",
+        # parked when robots_verdicts joined the window
+        "market_share",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -3994,6 +4039,37 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Arithmetic-only robots oracle: each page's verdict follows from
+        # (doc_id % 4) choosing the body, (doc_id % 8 >= 4) choosing the
+        # subtree, and the decimal rendering of doc_id entering the /q/1
+        # allow carve-out — no robots parsing, no join.
+        "robots_verdicts": """
+            WITH p AS (
+              SELECT doc_id, doc_id % 4 AS k, doc_id % 8 >= 4 AS q,
+                     CAST(doc_id AS VARCHAR) LIKE '1%' AS one,
+                     'https://www.example' || CAST(doc_id % 4 AS VARCHAR) || '.org'
+                       || CASE WHEN doc_id % 8 >= 4 THEN '/q/' ELSE '/p/' END
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT url,
+                   CASE WHEN k = 0 THEN 'blocked'
+                        WHEN k = 1 THEN CASE WHEN q THEN 'blocked' ELSE 'allowed' END
+                        WHEN k = 2 THEN CASE WHEN q AND NOT one THEN 'blocked'
+                                             ELSE 'allowed' END
+                        ELSE 'allowed' END AS verdict,
+                   CASE WHEN k = 0 THEN 'disallow'
+                        WHEN k = 1 AND q THEN 'disallow'
+                        WHEN k = 2 AND q AND one THEN 'allow'
+                        WHEN k = 2 AND q THEN 'disallow'
+                        WHEN k = 3 THEN 'allow' END AS matched_rule,
+                   CASE WHEN k = 0 THEN '/'
+                        WHEN k = 1 AND q THEN '/q/'
+                        WHEN k = 2 AND q AND one THEN '/q/1'
+                        WHEN k = 2 AND q THEN '/q/'
+                        WHEN k = 3 THEN '/' END AS matched_prefix
+            FROM p ORDER BY url
+        """,
         # DuckDB list-algebra re-run of the paragraph-dedup spec (explode,
         # normalized-hash document frequency >= 2, ordered rebuild).
         "paragraph_dedup": """
