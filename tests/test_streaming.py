@@ -348,3 +348,39 @@ def test_turn_lifecycle_batch_twin_parity(tmp_path, spark):
     batched = {row_key(r) for r in batch_df.collect()}
     assert len(batched) == 12  # 4 keys × 3 turns
     assert streamed == batched
+
+
+def test_quality_filter_chain_streams(docs_small, tmp_path, spark):
+    """The quality chain is stateless row algebra, so the SAME operator
+    runs unmodified over readStream — the ingest-time filtering mode. The
+    streamed verdicts must equal the batch verdicts on the same files."""
+    from slower_whisper_spark.operators.quality import quality_filter
+
+    docs, _, _ = docs_small
+    src = str(tmp_path / "qsrc")
+    batch_in = docs.where(F.col("text").isNotNull() & F.col("url").isNotNull()).select(
+        "url", "text", "lang"
+    )
+    batch_in.write.mode("overwrite").parquet(src)
+
+    stored = spark.read.parquet(src)
+    stream = spark.readStream.schema(stored.schema).parquet(src)
+    q = (
+        quality_filter(stream, lang_col="lang")
+        .select("url", "verdict", F.concat_ws(",", "reasons").alias("reasons"))
+        .writeStream.format("memory")
+        .queryName("qf_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "qck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("qf_stream").orderBy("url").toPandas()
+    want = (
+        quality_filter(stored, lang_col="lang")
+        .select("url", "verdict", F.concat_ws(",", "reasons").alias("reasons"))
+        .orderBy("url")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
