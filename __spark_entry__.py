@@ -3072,6 +3072,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_verdicts"] = q_robots_verdicts
 
+    def q_vocab_topk(spark, sf):
+        """Tokenizer-training vocabulary: top-50 normalized word
+        frequencies (functions/text.py vocab_topk — map-side partial
+        combine collapses the Zipf head before the shuffle,
+        TakeOrderedAndProject instead of a global sort; deterministic
+        word tie-break). Oracle: the same spec in DuckDB unnest/count."""
+        from slower_whisper_spark.functions.text import vocab_topk
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        return vocab_topk(docs, k=50).orderBy(F.desc("n"), "word")
+
+    q["vocab_topk"] = q_vocab_topk
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3130,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_child_rollup",
         # parked when robots_verdicts joined the window
         "market_share",
+        # parked when vocab_topk joined the window
+        "nation_volume",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4039,6 +4054,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        "vocab_topk": """
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(
+                       regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
+                       '\\s+')) AS word
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            )
+            SELECT word, count(*) AS n FROM w
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
         # Arithmetic-only robots oracle: each page's verdict follows from
         # (doc_id % 4) choosing the body, (doc_id % 8 >= 4) choosing the
         # subtree, and the decimal rendering of doc_id entering the /q/1

@@ -250,3 +250,25 @@ def extract_keywords(c: Column | str, patterns: list[str]) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     alternation = "(" + "|".join(patterns) + ")"
     return F.regexp_extract_all(F.lower(c), F.lit(alternation), F.lit(0))
+
+
+def vocab_topk(df, text_col: str = "text", k: int = 100, normalize: bool = True):
+    """Corpus word-frequency top-k — the tokenizer-training precursor
+    (BPE/unigram trainers start from exactly this table).
+
+    Scale shape: explode → hash aggregate with map-side partial combine
+    (the Zipf head collapses before the shuffle, so the exchange carries
+    ~|vocab| rows per partition, not |corpus| tokens) → global count →
+    ``orderBy().limit(k)``, which Spark executes as TakeOrderedAndProject:
+    per-partition heaps of k, no global sort materialization. Ties break
+    deterministically by word."""
+    c = F.col(text_col)
+    words = tokens(normalize_text(c) if normalize else c)
+    return (
+        df.select(F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )

@@ -113,17 +113,26 @@ def normalize_url(c: Column | str) -> Column:
     return F.when(scheme == "", u).otherwise(r)
 
 
-def url_stats(df, url_col: str = "url"):
+def url_stats(df, url_col: str = "url", approx: bool = False):
     """Per-registered-domain rollup: page count, distinct hosts, mean path
     depth — the skew diagnostic for choosing salting factors. One shuffle
-    on the (low-cardinality) domain key."""
+    on the (low-cardinality) domain key.
+
+    ``approx=False`` uses exact countDistinct (deterministic — the oracle
+    path), which Catalyst plans as a two-phase expand aggregate;
+    ``approx=True`` swaps in HLL ``approx_count_distinct``, which is fully
+    partial-aggregable — one ~1.5 KB sketch per (partition, domain) crosses
+    the shuffle — the 10^12-row path."""
     d = registered_domain(url_col).alias("domain")
+    n_hosts = (
+        F.approx_count_distinct("host") if approx else F.countDistinct("host")
+    ).alias("n_hosts")
     return (
         df.select(d, url_host(url_col).alias("host"), path_depth(url_col).alias("depth"))
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
-            F.countDistinct("host").alias("n_hosts"),
+            n_hosts,
             F.round(F.avg("depth"), 6).alias("mean_path_depth"),
         )
     )

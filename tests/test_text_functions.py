@@ -99,3 +99,15 @@ def test_duplicate_ngram_fraction(spark):
     assert got[1] == 0.0
     assert got[2] is None
     assert got[3] is None
+
+
+def test_vocab_topk_order_and_ties(spark):
+    rows = [(1, "B b a! a c"), (2, "a b. C?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from slower_whisper_spark.functions.text import vocab_topk
+
+    got = [(r.word, r.n) for r in vocab_topk(df, k=3).collect()]
+    # a:3, b:3 (tie -> alphabetical), c:2
+    assert got == [("a", 3), ("b", 3), ("c", 2)]
+    plan = vocab_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

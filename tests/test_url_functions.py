@@ -75,3 +75,16 @@ def test_url_stats_rollup(spark, docs_small):
     assert int(st["n_pages"].iloc[0]) == docs.count()
     assert int(st["n_hosts"].iloc[0]) > 1
     assert 0 < float(st["mean_path_depth"].iloc[0]) <= 2.0
+
+
+def test_url_stats_approx_path(spark, docs_small):
+    docs, _, _ = docs_small
+    st = U.url_stats(docs, approx=True).toPandas()
+    exact = U.url_stats(docs).toPandas()
+    assert set(st["domain"]) == set(exact["domain"])
+    # HLL within its documented ~2% rsd at this cardinality
+    a, e = int(st["n_hosts"].iloc[0]), int(exact["n_hosts"].iloc[0])
+    assert abs(a - e) <= max(3, int(0.1 * e))
+    # the approx plan must not contain the exact-distinct expand
+    plan = U.url_stats(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
