@@ -3085,6 +3085,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_topk"] = q_vocab_topk
 
+    def q_corpus_sample(spark, sf):
+        """Reproducible corpus mixing (operators/sampling.py
+        stratified_sample): keep 50% of en, 25% of de, 10% of everything
+        else (incl. NULL lang), membership a pure function of
+        md5(doc_id) — no RNG, no partition sensitivity, coordinated
+        across tables. Oracle replays the md5-bucket threshold in DuckDB
+        (the package's hex-half portability device). Ref ancestry: the
+        reference's fixed-seed benchmark subset iterators
+        (transcription/benchmarks.py), made cluster-deterministic."""
+        from slower_whisper_spark.operators.sampling import stratified_sample
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        out = stratified_sample(
+            docs,
+            strata_col="lang",
+            fractions={"en": 0.5, "de": 0.25},
+            key_col="doc_id",
+            default_fraction=0.1,
+        )
+        return out.select("doc_id", "lang").orderBy("doc_id")
+
+    q["corpus_sample"] = q_corpus_sample
+
+    def q_domain_cap(spark, sf):
+        """Anti-spam per-domain cap (operators/sampling.py domain_cap):
+        at most 5 pages per synthesized domain, preferring long documents,
+        deterministic doc_id tie-break; survivors carry their 1-based
+        domain_rank. Oracle: the same window spec in DuckDB."""
+        from slower_whisper_spark.operators.sampling import domain_cap
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        src = docs.withColumn(
+            "domain", F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+        )
+        out = domain_cap(
+            src, domain_col="domain", cap=5, order_col="n_chars", tiebreak_col="doc_id"
+        )
+        return out.select("doc_id", "domain", "domain_rank").orderBy(
+            "domain", "domain_rank"
+        )
+
+    q["domain_cap"] = q_domain_cap
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3145,6 +3188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share",
         # parked when vocab_topk joined the window
         "nation_volume",
+        # parked when corpus_sample + domain_cap joined the window
+        "min_cost_supplier",
+        "typecheck_violations",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4054,6 +4100,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # md5-bucket replay: thresholds are exact int(frac * 2^32) literals,
+        # bucket = first 8 md5 hex chars of the decimal doc_id
+        "corpus_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE text IS NOT NULL
+              AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+                  CASE WHEN lang = 'en' THEN 2147483648
+                       WHEN lang = 'de' THEN 1073741824
+                       ELSE 429496729 END
+            ORDER BY doc_id
+        """,
+        "domain_cap": """
+            SELECT doc_id, domain, domain_rank FROM (
+              SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS domain,
+                     row_number() OVER (
+                       PARTITION BY doc_id % 50
+                       ORDER BY n_chars DESC, doc_id) AS domain_rank
+              FROM documents WHERE text IS NOT NULL)
+            WHERE domain_rank <= 5 ORDER BY domain, domain_rank
+        """,
         "vocab_topk": """
             WITH w AS (
               SELECT unnest(regexp_split_to_array(trim(
