@@ -353,3 +353,28 @@ def windowed_lang_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "lang", "n")
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    event_time_col: str = "warc_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: drop redeliveries of the same key arriving
+    within the watermark window (``dropDuplicatesWithinWatermark`` — state
+    per key is retained only until the watermark passes, so state size is
+    O(keys per window), not O(all keys ever) — the bounded-state contract
+    the rest of this module keeps).
+
+    The at-least-once ingest twin of ``operators/dedup.py``'s batch exact
+    dedup: upstream crawlers redeliver urls on retry; this keeps the first
+    arrival per url per window. Duplicates farther apart than ``delay``
+    are NOT caught (documented — that's the batch job's pass). Works on a
+    batch DataFrame too (falls back to plain dropDuplicates semantics over
+    the whole input, useful for parity tests).
+    """
+    keys = key_cols or ["url"]
+    wm = df.withWatermark(event_time_col, delay)
+    return wm.dropDuplicatesWithinWatermark(keys)

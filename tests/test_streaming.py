@@ -384,3 +384,45 @@ def test_quality_filter_chain_streams(docs_small, tmp_path, spark):
     )
     assert len(got) == len(want) > 0
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_stream_dedup_within_watermark(tmp_path, spark):
+    """Redelivered urls inside the watermark window are dropped across
+    micro-batches; state is bounded by the window."""
+    import datetime as dt
+
+    from slower_whisper_spark.streaming.validate import stream_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows_b1 = [("u1", t0, "a"), ("u2", t0 + dt.timedelta(seconds=30), "b")]
+    rows_b2 = [
+        ("u1", t0 + dt.timedelta(minutes=2), "a-redelivered"),  # dup within window
+        ("u3", t0 + dt.timedelta(minutes=3), "c"),
+    ]
+    src = str(tmp_path / "dd_src")
+    schema = "url string, warc_ts timestamp, text string"
+    df1 = spark.createDataFrame(rows_b1, schema)
+    # two parquet files; maxFilesPerTrigger=1 makes availableNow process
+    # them as SEQUENTIAL micro-batches, so the dedup state must carry over
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p.numInputRows for p in q.recentProgress if p.numInputRows]
+    got = {r.url: r.text for r in spark.table("dd_out").collect()}
+    assert got == {"u1": "a", "u2": "b", "u3": "c"}
+    assert len(batches) >= 2, batches  # state genuinely crossed micro-batches
