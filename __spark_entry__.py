@@ -3128,6 +3128,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_cap"] = q_domain_cap
 
+    def q_quality_gate_rollup(spark, sf):
+        """The quality chain as CONSTRAINT RULES (rules/quality.py): five
+        Quality rows dropped into a ConstraintSuite fold into pass-1's
+        single wide aggregate next to schema rules — zero extra scans —
+        and emit the standard per-partition verdict table. Oracle
+        recomputes every signal and per-(source, rule) violation count in
+        DuckDB. NULL text fails each signal (except dup3, undefined ⇒
+        vacuous pass); NULL lang fails the allowlist."""
+        from slower_whisper_spark import ConstraintSuite
+        from slower_whisper_spark.rules.quality import quality_rules
+
+        docs = _t(spark, sf, "documents")
+        suite = ConstraintSuite(
+            "qgate",
+            quality_rules(
+                min_tokens=20,
+                max_tokens=80,
+                min_stopword_ratio=0.05,
+                max_dup3_fraction=0.05,
+                lang_col="lang",
+            ),
+        )
+        res = suite.validate(docs, key_col="doc_id", partition_col="source")
+        return res.verdicts.select(
+            "partition",
+            "rule_id",
+            F.col("passed").cast("long").alias("passed"),
+            "rows",
+            "violations",
+        ).orderBy("partition", "rule_id")
+
+    q["quality_gate_rollup"] = q_quality_gate_rollup
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3191,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parked when corpus_sample + domain_cap joined the window
         "min_cost_supplier",
         "typecheck_violations",
+        # parked when quality_gate_rollup joined the window
+        "monotonic_gaps",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4100,6 +4135,56 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Per-(source, rule) violation recount for the quality-rule suite;
+        # signal definitions mirror rules/quality.py (round-6 ratios,
+        # NULL-text fails, dup3 vacuous when undefined).
+        "quality_gate_rollup": """
+            WITH t AS (
+              SELECT source, lang, text,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ), s AS (
+              SELECT source, lang,
+                     len(toks) AS n,
+                     CASE WHEN toks IS NULL THEN NULL
+                          ELSE round(len(list_filter(toks, x -> list_contains(
+                            ['the','and','of','to','in','is','that','it','for','was'],
+                            lower(x))))::DOUBLE / greatest(len(toks), 1), 6)
+                     END AS swr,
+                     CASE WHEN toks IS NOT NULL AND len(toks) >= 3 THEN
+                       round(1.0 - len(list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                             / (len(toks) - 2), 6) END AS dup3
+              FROM t
+            ), v AS (
+              SELECT source, count(*) AS rows,
+                sum(CASE WHEN n IS NULL OR NOT (n >= 20) THEN 1 ELSE 0 END) AS v_min,
+                sum(CASE WHEN n IS NULL OR NOT (n <= 80) THEN 1 ELSE 0 END) AS v_max,
+                sum(CASE WHEN swr IS NULL OR NOT (swr >= 0.05) THEN 1 ELSE 0 END) AS v_swr,
+                sum(CASE WHEN dup3 IS NOT NULL AND dup3 > 0.05 THEN 1 ELSE 0 END) AS v_dup,
+                sum(CASE WHEN lang IS NULL OR lang <> 'en' THEN 1 ELSE 0 END) AS v_lang
+              FROM s GROUP BY source
+            ), u AS (
+              SELECT source, 'quality_min_tokens(text)' AS rule_id, rows, v_min AS violations FROM v
+              UNION ALL
+              SELECT source, 'quality_max_tokens(text)', rows, v_max FROM v
+              UNION ALL
+              SELECT source, 'quality_min_stopword_ratio(text)', rows, v_swr FROM v
+              UNION ALL
+              SELECT source, 'quality_max_dup3_fraction(text)', rows, v_dup FROM v
+              UNION ALL
+              SELECT source, 'quality_lang_allowed(lang)', rows, v_lang FROM v
+            )
+            SELECT source AS partition, rule_id,
+                   CAST(violations = 0 AS BIGINT) AS passed,
+                   CAST(rows AS BIGINT) AS rows,
+                   CAST(violations AS BIGINT) AS violations
+            FROM u ORDER BY partition, rule_id
+        """,
         # md5-bucket replay: thresholds are exact int(frac * 2^32) literals,
         # bucket = first 8 md5 hex chars of the decimal doc_id
         "corpus_sample": """

@@ -157,6 +157,18 @@ def _build_extraction(r: dict):
     )
 
 
+def _build_quality(r: dict[str, Any]):
+    from slower_whisper_spark.rules.quality import Quality
+
+    return Quality(
+        r["kind"],
+        column=r.get("column", "text"),
+        value=r.get("value"),
+        langs=tuple(r.get("langs", ("en",))),
+        rule_id=r.get("rule_id"),
+    )
+
+
 def _json_rules():
     import slower_whisper_spark.rules.json_ingest as m
 
@@ -190,6 +202,7 @@ def suite_from_spec(spec: dict[str, Any]):
         "type_check": lambda r: TypeCheck(r["column"], r["dtype"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False)),
         "nested": lambda r: Nested(r["column"], r["element_predicate"], rule_id=r.get("rule_id"), allow_null=r.get("allow_null", False), min_size=r.get("min_size"), max_size=r.get("max_size")),
         "expr": lambda r: Expr(r["predicate"], rule_id=r["rule_id"], observed_expr=r.get("observed"), expected=r.get("expected")),
+        "quality": lambda r: _build_quality(r),
         "conditional": lambda r: Conditional(r["when"], r["then"], rule_id=r["rule_id"], observed_expr=r.get("observed")),
         "unique": lambda r: _build_unique(r),
         "drift": lambda r: _build_drift(r),

@@ -6,6 +6,7 @@ from slower_whisper_spark.rules.vectorized import Vectorized
 from slower_whisper_spark.rules.unique import Unique
 from slower_whisper_spark.rules.refint import ForeignKey
 from slower_whisper_spark.rules.invariant import ExtractionInvariant, HashInvariant
+from slower_whisper_spark.rules.quality import Quality, quality_rules
 from slower_whisper_spark.rules.json_ingest import (
     DiscriminatedUnion,
     JsonParsable,
