@@ -392,6 +392,10 @@ HEADLINE_QUERIES = [
     "ann_bruteforce",
     "token_counts",
     "drift_histogram",
+    # round-5 webtext additions: the scan-local filter chain and the
+    # explode+count+broadcast-anti-join boilerplate pass
+    "quality_filter",
+    "paragraph_dedup",
 ]
 
 
