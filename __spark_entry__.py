@@ -3161,6 +3161,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_gate_rollup"] = q_quality_gate_rollup
 
+    def q_contamination(spark, sf):
+        """Benchmark decontamination (operators/dedup.py
+        contamination_pairs): eval set = 60%-prefix snippets of every 10th
+        document (planted contamination, containment 1.0 against the
+        source) + token-REVERSED texts of the %10==5 docs (shares
+        unigrams, near-zero ordered 5-gram containment — the negative
+        control). The corpus side never shuffles: eval shingles broadcast,
+        train shingles drop map-side. Oracle recomputes containment with
+        STRING 5-grams in DuckDB (hash≡string, the minhash row's
+        established argument). Pairs ≥ 0.6 reported."""
+        from slower_whisper_spark.functions.text import normalize_text, tokens
+        from slower_whisper_spark.operators.dedup import contamination_pairs
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        toks = tokens(normalize_text(F.col("text")))
+        n_t = F.size(toks)
+        m = F.greatest(F.floor(n_t * F.lit(3) / F.lit(5)), F.lit(5)).cast("int")
+        snippet = F.concat_ws(" ", F.slice(toks, F.lit(1), m))
+        rev = F.concat_ws(" ", F.reverse(toks))
+        evals = (
+            docs.where(i % 10 == 0)
+            .select(i.alias("eval_id"), snippet.alias("text"))
+            .unionByName(
+                docs.where(i % 10 == 5).select(i.alias("eval_id"), rev.alias("text"))
+            )
+        )
+        out = contamination_pairs(
+            docs, evals, shingle_n=5, min_containment=0.6
+        )
+        return out.orderBy("eval_id", "train_id")
+
+    q["contamination"] = q_contamination
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3226,6 +3260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typecheck_violations",
         # parked when quality_gate_rollup joined the window
         "monotonic_gaps",
+        # parked when contamination joined the window
+        "ngram_jaccard",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4135,6 +4171,50 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # String-5-gram containment recount (hash≡string parity as on the
+        # minhash row); eval construction mirrors the query's token slice /
+        # reverse arithmetic.
+        "contamination": """
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, string_split(t, ' ') AS w,
+                     len(string_split(t, ' ')) AS n, t
+              FROM norm WHERE t <> ''
+            ), trg AS (
+              SELECT DISTINCT doc_id AS train_id, unnest(
+                CASE WHEN n >= 5 THEN list_transform(range(1, n - 3),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4])
+                     ELSE [t] END) AS g
+              FROM tok
+            ), ev AS (
+              SELECT doc_id AS eval_id,
+                     w[1:greatest(CAST(floor(n * 3 / 5.0) AS INT), 5)] AS ew
+              FROM tok WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, list_reverse(w) FROM tok WHERE doc_id % 10 = 5
+            ), evg AS (
+              SELECT DISTINCT eval_id, unnest(
+                CASE WHEN len(ew) >= 5 THEN list_transform(range(1, len(ew) - 3),
+                       i -> ew[i] || ' ' || ew[i+1] || ' ' || ew[i+2] || ' '
+                            || ew[i+3] || ' ' || ew[i+4])
+                     ELSE [array_to_string(ew, ' ')] END) AS g
+              FROM ev
+            ), ecnt AS (
+              SELECT eval_id, count(*) AS n_eval FROM evg GROUP BY eval_id
+            ), sh AS (
+              SELECT e.eval_id, t.train_id, count(*) AS shared
+              FROM trg t JOIN evg e ON t.g = e.g GROUP BY 1, 2
+            )
+            SELECT sh.eval_id, train_id,
+                   round(shared::DOUBLE / n_eval, 6) AS containment
+            FROM sh JOIN ecnt ON sh.eval_id = ecnt.eval_id
+            WHERE round(shared::DOUBLE / n_eval, 6) >= 0.6
+            ORDER BY sh.eval_id, train_id
+        """,
         # Per-(source, rule) violation recount for the quality-rule suite;
         # signal definitions mirror rules/quality.py (round-6 ratios,
         # NULL-text fails, dup3 vacuous when undefined).

@@ -167,6 +167,16 @@ def hashed_shingle_rows(df, id_col: str, text_col: str, n: int = 3):
     runs. Short docs (1 ≤ tokens < n) get one whole-doc shingle (hash of the
     token-hash array); empty docs yield nothing. Collision risk 2^-64 —
     fine for candidate generation and minhash signatures."""
+    return hashed_gram_arrays(df, id_col, text_col, n=n).select(
+        "id", F.explode("__grams").alias("sh")
+    )
+
+
+def hashed_gram_arrays(df, id_col: str, text_col: str, n: int = 3):
+    """(id, __grams array<bigint>) — the per-document hashed-shingle array
+    ``hashed_shingle_rows`` explodes, exposed so row-local consumers
+    (e.g. contamination containment's per-doc SET via array_distinct) can
+    dedup/size the grams with ZERO shuffle before any explode."""
     # pre-filter on a cheap regex instead of size(__tk) > 0: a size filter
     # would be pushed below the projection with the tokenizer expression
     # substituted in, tokenizing every document twice
@@ -186,7 +196,7 @@ def hashed_shingle_rows(df, id_col: str, text_col: str, n: int = 3):
             lambda i: F.xxhash64(*[F.element_at(F.col("__th"), i + k) for k in range(n)]),
         ),
     ).otherwise(F.array(F.xxhash64(F.col("__th"))))
-    return th.select("id", F.explode(grams).alias("sh"))
+    return th.select("id", grams.alias("__grams"))
 
 
 def shingle_rows(df, id_col: str, text_col: str, n: int = 3):

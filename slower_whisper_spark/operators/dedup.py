@@ -662,3 +662,66 @@ def paragraph_dedup(
             (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    train_id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    shingle_n: int = 5,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents CONTAIN an eval
+    document's n-grams (containment = |shingles(train) ∩ shingles(eval)| /
+    |shingles(eval)|). Jaccard-LSH is the wrong tool here — a short eval
+    snippet embedded in a long page has near-zero Jaccard but containment
+    1.0 — so this is the GPT-3/PaLM-style direct n-gram overlap check.
+
+    Scale shape: the corpus side never shuffles. Eval sets are small
+    (10^3-10^5 docs), so the eval shingle set BROADCASTS; the train side
+    explodes to hashed shingles (fixed-width 64-bit, the minhash path's
+    bandwidth argument), drops every shingle not in the broadcast set
+    map-side, and only the surviving (train_id, eval_id) hits enter the
+    partial-aggregable count. Output: pairs with containment ≥ threshold.
+
+    Shingle semantics = ``hashed_shingle_rows`` (normalized word n-grams,
+    whole-doc shingle under n tokens, DISTINCT per doc); string-equality
+    oracle parity is the established hash≡string argument (2^-64
+    collisions, proven on the minhash row).
+    """
+    from slower_whisper_spark.functions.text import hashed_gram_arrays
+
+    e_text = eval_text_col or text_col
+    # per-doc DISTINCT shingle sets built ROW-LOCALLY (array_distinct before
+    # the explode) — the corpus side reaches the broadcast-join filter
+    # without any shuffle at all
+    t_sets = hashed_gram_arrays(
+        train.select(F.col(train_id_col).alias("train_id"), F.col(text_col)),
+        "train_id", text_col, n=shingle_n,
+    ).select(F.col("id").alias("train_id"), F.array_distinct("__grams").alias("__s"))
+    e_sets = hashed_gram_arrays(
+        eval_df.select(F.col(eval_id_col).alias("eval_id"), F.col(e_text)),
+        "eval_id", e_text, n=shingle_n,
+    ).select(
+        F.col("id").alias("eval_id"),
+        F.array_distinct("__grams").alias("__s"),
+    )
+    t_sh = t_sets.select("train_id", F.explode("__s").alias("sh"))
+    e_sh = e_sets.select(
+        "eval_id", F.size("__s").alias("n_eval"), F.explode("__s").alias("sh")
+    )
+    shared = (
+        t_sh.join(F.broadcast(e_sh), "sh")
+        .groupBy("train_id", "eval_id", "n_eval")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = shared.select(
+        "eval_id",
+        "train_id",
+        F.round(F.col("n_shared") / F.col("n_eval"), 6).alias("containment"),
+    )
+    return out.where(F.col("containment") >= float(min_containment))
