@@ -3195,6 +3195,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination"] = q_contamination
 
+    def q_wet_extract(spark, sf):
+        """The Common-Crawl WET-generation pipeline end-to-end: render each
+        doc into a templated HTML page, package pages as WARC response
+        records (8 container blobs), parse with the REAL Content-Length
+        parser, extract visible text from each recovered payload
+        (functions/html.py vectorized pipeline), re-package the text as
+        WARC 'conversion' (WET) records, parse THOSE, and emit one row per
+        WET record. The oracle is join-free: byte-identity all the way
+        through means the final payload must equal the entity-laden content
+        string, so DuckDB just recomputes its length and md5 from the
+        source rows. Two container loops + the HTML inverse in one green
+        row (ref: the reference's per-file render→parse identity contract,
+        transcription/writers.py write/load pairing)."""
+        from slower_whisper_spark.functions.html import (
+            encode_entities,
+            extract_html_text,
+        )
+        from slower_whisper_spark.sources import warc as W
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (i % 50).cast("string"),
+            F.lit(".example.org/p/"), i.cast("string"),
+        )
+        content = F.concat(F.lit('a&b <c> "d" '), F.col("text"))
+        page = F.concat(
+            F.lit(
+                "<!DOCTYPE html><html><head><title></title>"
+                "<style>p{margin:0}</style></head><body><!-- nav --><p>"
+            ),
+            encode_entities(content),
+            F.lit('</p><script>var q="<b>&amp;</b>";</script></body></html>'),
+        )
+
+        def blobs_of(src, rec_col):
+            return (
+                src.select((F.col("k")).alias("k"), rec_col.alias("rec"))
+                .groupBy("k")
+                .agg(
+                    F.array_join(F.array_sort(F.collect_list("rec")), "")
+                    .cast("binary")
+                    .alias("blob")
+                )
+            )
+
+        warc_rec = W.render_warc_record(url, page, content_type="text/html")
+        recs = W.parse_warc_blobs(
+            blobs_of(docs.withColumn("k", i % 8), warc_rec), blob_col="blob"
+        )
+        wet_rec = W.render_warc_record(
+            F.col("url"),
+            extract_html_text(F.col("payload"), from_binary=True),
+            warc_type="conversion",
+        )
+        wet_src = recs.withColumn("k", F.abs(F.hash("url")) % 8)
+        wet = W.parse_warc_blobs(blobs_of(wet_src, wet_rec), blob_col="blob")
+        return wet.select(
+            "url",
+            "warc_type",
+            "content_length",
+            F.md5(F.col("payload")).alias("payload_md5"),
+        ).orderBy("url")
+
+    q["wet_extract"] = q_wet_extract
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3262,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_gaps",
         # parked when contamination joined the window
         "ngram_jaccard",
+        # parked when wet_extract joined the window
+        "simhash_neardup",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4171,6 +4239,18 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Join-free WET oracle: byte-identity through both container loops
+        # and the HTML inverse means the final payload IS the content
+        # string — recompute its UTF-8 length and md5 from source rows.
+        "wet_extract": """
+            SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   'conversion' AS warc_type,
+                   CAST(strlen('a&b <c> "d" ' || text) AS BIGINT) AS content_length,
+                   md5('a&b <c> "d" ' || text) AS payload_md5
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY url
+        """,
         # String-5-gram containment recount (hash≡string parity as on the
         # minhash row); eval construction mirrors the query's token slice /
         # reverse arithmetic.
