@@ -113,3 +113,35 @@ def quality_filter_stats(filtered: DataFrame) -> DataFrame:
             F.sum(F.array_contains("reasons", r).cast("long")).alias(f"n_{r}")
         )
     return filtered.agg(*aggs)
+
+
+def compression_ratio(c: Column | str) -> Column:
+    """CCNet-style compressibility signal: deflate(text) bytes / text
+    bytes. Templated/repetitive documents compress far below prose (~0.3
+    vs ~0.6+); a very low ratio is a strong spam/boilerplate tell that the
+    n-gram signals miss on long-range repetition.
+
+    This is the chain's one genuinely-Python signal (no SQL zlib):
+    a scalar Arrow pandas_udf — batched, zero per-row py4j — and the
+    intended use is on quality_filter SURVIVORS, so the Python cost scales
+    with the accept set, not the corpus. NULL/empty text → NULL.
+    Deterministic: zlib level 6, raw deflate length, round 6."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings pandas_udf cannot resolve (pd is function-local here)
+    @pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return s.map(one)
+
+    return _ratio(F.col(c) if isinstance(c, str) else c)

@@ -75,3 +75,22 @@ def test_stats_one_pass(spark, docs_small):
                  "repetitive", "bad_lang", "blocked_domain"))
     assert trips >= st.dropped > 0
     assert st.kept > 0
+
+
+def test_compression_ratio_separates_repetition(spark):
+    import zlib
+
+    from slower_whisper_spark.operators.quality import compression_ratio
+
+    rep = "spam " * 200
+    prose = ("the quick brown fox jumps over one lazy dog near a riverbank "
+             "while seventeen sparrows debate quantum economics ") * 3
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, None), (4, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.r for r in df.select("doc_id", compression_ratio("text").alias("r")).collect()}
+    assert got[1] < 0.05 < got[2]
+    assert got[3] is None and got[4] is None
+    # deterministic + exact vs local zlib
+    want = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
+    assert got[1] == want
