@@ -45,7 +45,15 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate", help="run a constraint suite over a parquet table")
-    v.add_argument("table", help="path to (partitioned) parquet table")
+    v.add_argument("table", help="path to (partitioned) parquet table, or a WARC dir with --format warc")
+    v.add_argument(
+        "--format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="input format: parquet table (default) or a directory of WARC "
+        "files — records parse to (url, text, warc_day, file, offset) and "
+        "validate like any table (crawl-to-gate in one command)",
+    )
     v.add_argument("--suite", required=True, help="suite spec JSON, or name[@vN] with --registry")
     v.add_argument("--registry", default=None, help="suite registry dir (enables --suite name@vN)")
     v.add_argument("--key-col", default="url")
@@ -112,7 +120,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="sws-cli", master=args.master)
     suite = _resolve_suite(args.suite, args.registry)
-    df = read(spark, args.table)
+    if getattr(args, "format", "parquet") == "warc":
+        if args.incremental:
+            p.error("--incremental needs a hive-partitioned parquet table; WARC input has no partition snapshots")
+        from pyspark.sql import functions as F
+
+        from slower_whisper_spark.sources.warc import read_warc
+
+        recs = read_warc(spark, args.table).where(F.col("verdict") == "ok")
+        df = recs.select(
+            "url",
+            F.col("payload").cast("string").alias("text"),
+            F.to_date(F.substring("warc_date", 1, 10)).alias("warc_day"),
+            "file",
+            "offset",
+            "content_type",
+        )
+    else:
+        df = read(spark, args.table)
 
     if args.manifest:
         from slower_whisper_spark.runner import GateFailure, ValidationRunner

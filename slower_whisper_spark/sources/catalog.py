@@ -30,7 +30,7 @@ def snapshot_id(path: str) -> str:
         files = []
         for root, _dirs, names in os.walk(path):
             for n in sorted(names):
-                if n.endswith((".parquet", ".orc")):
+                if n.endswith((".parquet", ".orc", ".warc", ".warc.gz")):
                     fp = os.path.join(root, n)
                     files.append((os.path.relpath(fp, path), os.path.getsize(fp)))
         files.sort()

@@ -147,3 +147,45 @@ def test_parse_blobs_matches_render(spark, docs_small):
     )
     assert j.count() == 200
     assert j.where(F.col("got") != F.col("want")).count() == 0
+
+
+def test_cli_validate_warc_input(spark, docs_small, tmp_path, capsys):
+    """Crawl-to-gate in one command: a directory of WARC files validates
+    through the standard CLI path (parse -> (url, text, warc_day) ->
+    suite), violations and exit codes included."""
+    import json
+
+    from slower_whisper_spark.cli import main
+
+    docs, _, _ = docs_small
+    src = docs.where(F.col("url").isNotNull() & F.col("text").isNotNull()).select(
+        "url", "text"
+    ).limit(200)
+    wdir = str(tmp_path / "cli_warc")
+    W.write_warc_files(src, wdir, file_key=F.abs(F.hash("url")) % 3).collect()
+
+    spec = {
+        "name": "warcsuite", "version": 2,
+        "rules": [
+            {"type": "not_null", "column": "url", "rule_id": "r1"},
+            {"type": "quality", "kind": "min_tokens", "column": "text",
+             "value": 100000, "rule_id": "r2"},  # impossible -> violations
+        ],
+    }
+    spath = str(tmp_path / "s.json")
+    with open(spath, "w") as fh:
+        json.dump(spec, fh)
+
+    rc = main([
+        "validate", wdir, "--format", "warc", "--suite", spath,
+        "--key-col", "url", "--partition-col", "file", "--master", "local[4]",
+    ])
+    assert rc == 0  # report mode
+    err = capsys.readouterr().err
+    assert "r2" in err  # violations reported against parsed records
+    rc_gate = main([
+        "validate", wdir, "--format", "warc", "--suite", spath,
+        "--key-col", "url", "--partition-col", "file", "--master", "local[4]",
+        "--gate",
+    ])
+    assert rc_gate == 1
