@@ -3261,6 +3261,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wet_extract"] = q_wet_extract
 
+    def q_lm_perplexity(spark, sf):
+        """CCNet-style LM quality scoring (operators/quality.py): train an
+        add-1 unigram LM on the even-doc_id half of the corpus (the
+        'reference register', vocab 500 + OOV mass), then score EVERY doc
+        by mean per-token log-prob via a broadcast vocab join — corpus
+        rows never shuffle raw words. Deterministic: exact integer counts,
+        one driver scalar, ties at the vocab boundary broken by word.
+        Oracle replays training + scoring in DuckDB (ln parity at round-6
+        established by the PSI oracle)."""
+        from slower_whisper_spark.operators.quality import (
+            lm_score,
+            unigram_logprob_table,
+        )
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        ref = docs.where(F.col("doc_id") % 2 == 0)
+        table, oov = unigram_logprob_table(ref, vocab_size=500, alpha=1.0)
+        return lm_score(docs, table, oov).orderBy("doc_id")
+
+    q["lm_perplexity"] = q_lm_perplexity
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3330,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard",
         # parked when wet_extract joined the window
         "simhash_neardup",
+        # parked when lm_perplexity joined the window
+        "dup_key_counts",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4239,6 +4262,37 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Full training+scoring replay of the unigram LM: add-1 smoothing,
+        # vocab 500 (count-desc, word tie-break), denominator N + 501,
+        # OOV = ln(1/(N+501)); mean log-prob per doc at round 6.
+        "lm_perplexity": """
+            WITH nrm AS (
+              SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE text IS NOT NULL
+            ), refw AS (
+              SELECT unnest(string_split(t, ' ')) AS word
+              FROM nrm WHERE doc_id % 2 = 0 AND t <> ''
+            ), counts AS (
+              SELECT word, count(*) AS c FROM refw WHERE word <> '' GROUP BY word
+            ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+            lp AS (
+              SELECT word, ln((c + 1.0) / (n + 501.0)) AS logp
+              FROM (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 500), tot
+            ), docw AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS word
+              FROM nrm WHERE t <> ''
+            ), sc AS (
+              SELECT doc_id,
+                     round(avg(COALESCE(lp.logp,
+                       (SELECT ln(1.0 / (n + 501.0)) FROM tot))), 6) AS lm_logprob
+              FROM docw LEFT JOIN lp USING (word)
+              WHERE word <> '' GROUP BY doc_id
+            )
+            SELECT d.doc_id, sc.lm_logprob
+            FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+            LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+        """,
         # Join-free WET oracle: byte-identity through both container loops
         # and the HTML inverse means the final payload IS the content
         # string — recompute its UTF-8 length and md5 from source rows.

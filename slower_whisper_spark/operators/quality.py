@@ -145,3 +145,72 @@ def compression_ratio(c: Column | str) -> Column:
         return s.map(one)
 
     return _ratio(F.col(c) if isinstance(c, str) else c)
+
+
+def unigram_logprob_table(
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+):
+    """Train the CCNet-style LM quality scorer's table: top-``vocab_size``
+    normalized words of a REFERENCE corpus (the 'clean' slice — e.g.
+    Wikipedia in CCNet) with add-alpha smoothed log-probs. Returns
+    ``(table (word, logp), oov_logp)``; denominator = total reference
+    tokens + alpha·(vocab_size+1), OOV gets the pure-alpha mass.
+
+    Training-time op: one explode + partial-combine count, a TakeOrdered
+    top-K, and ONE driver scalar (the total token count) — the table is
+    a broadcast-sized dim by construction."""
+    import math
+
+    from slower_whisper_spark.functions.text import normalize_text, tokens
+
+    words = (
+        ref.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = words.agg(F.sum("c")).collect()[0][0] or 0
+    d = float(total) + float(alpha) * (int(vocab_size) + 1)
+    top = words.orderBy(F.desc("c"), "word").limit(int(vocab_size))
+    table = top.select(
+        "word", F.log((F.col("c") + F.lit(float(alpha))) / F.lit(d)).alias("logp")
+    )
+    return table, math.log(float(alpha) / d)
+
+
+def lm_score(
+    df: DataFrame,
+    table: DataFrame,
+    oov_logp: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean per-token log-prob under the reference unigram LM — higher is
+    closer to the reference register (CCNet buckets corpora by exactly
+    this, with the LM reduced to unigrams). Output: ``(id, lm_logprob)``,
+    NULL for docs with no tokens.
+
+    Scale: explode → BROADCAST hash join against the vocab table (corpus
+    rows never shuffle raw words to a join exchange) → partial-combine avg
+    back to one row per doc."""
+    from slower_whisper_spark.functions.text import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    ).where(F.col("word") != "")
+    scored = (
+        toks.join(F.broadcast(table), "word", "left")
+        .groupBy("_id")
+        .agg(F.round(F.avg(F.coalesce(F.col("logp"), F.lit(float(oov_logp)))), 6).alias("lm_logprob"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_id"), "left")
+        .select(id_col, "lm_logprob")
+    )

@@ -94,3 +94,31 @@ def test_compression_ratio_separates_repetition(spark):
     # deterministic + exact vs local zlib
     want = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
     assert got[1] == want
+
+
+def test_unigram_lm_score(spark):
+    import math
+
+    from slower_whisper_spark.operators.quality import (
+        lm_score,
+        unigram_logprob_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat the cat the dog")], "doc_id long, text string"
+    )
+    table, oov = unigram_logprob_table(ref, vocab_size=2, alpha=1.0)
+    # counts: the=3 cat=2 dog=1; vocab keeps [the, cat]; N=6, D=6+3=9
+    got = {r.word: r.logp for r in table.collect()}
+    assert set(got) == {"the", "cat"}
+    assert abs(got["the"] - math.log(4 / 9)) < 1e-12
+    assert abs(oov - math.log(1 / 9)) < 1e-12
+
+    docs = spark.createDataFrame(
+        [(10, "the cat"), (11, "zebra"), (12, None), (13, "???")],
+        "doc_id long, text string",
+    )
+    sc = {r.doc_id: r.lm_logprob for r in lm_score(docs, table, oov).collect()}
+    assert sc[10] == round((math.log(4 / 9) + math.log(3 / 9)) / 2, 6)
+    assert sc[11] == round(math.log(1 / 9), 6)   # pure OOV
+    assert sc[12] is None and sc[13] is None     # no tokens -> NULL
