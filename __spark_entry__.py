@@ -3282,6 +3282,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity"] = q_lm_perplexity
 
+    def q_host_rank(spark, sf):
+        """Host web-graph PageRank (operators/graph.py — the CC host-rank
+        artifact): pages render with two planted <a href> outlinks
+        (targets from doc_id arithmetic), the REAL regexp link extractor +
+        host projection builds the weighted host edge list, and 3
+        damped-0.85 PageRank iterations run as join→agg rounds. The
+        oracle never parses html: it reconstructs the same edge multiset
+        from the arithmetic and unrolls the 3 iterations in SQL."""
+        from slower_whisper_spark.operators.graph import host_link_edges, pagerank
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+
+        def host_url(expr, path):
+            return F.concat(
+                F.lit("https://h"), expr.cast("string"),
+                F.lit(".example.org"), F.lit(path),
+            )
+
+        html = F.concat(
+            F.lit('<html><body><a href="'), host_url((i * 7) % 50, "/x"),
+            F.lit('">a</a> <a href="'), host_url((i * 13) % 50, "/y"),
+            F.lit('">b</a></body></html>'),
+        )
+        pages = docs.select(
+            host_url(i % 50, "/p").alias("url"), html.alias("html")
+        )
+        edges = host_link_edges(pages)
+        return (
+            pagerank(edges, iterations=3)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node")
+        )
+
+    q["host_rank"] = q_host_rank
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3353,6 +3389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup",
         # parked when lm_perplexity joined the window
         "dup_key_counts",
+        # parked when host_rank joined the window
+        "embedding_neardup",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4262,6 +4300,53 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Arithmetic edge reconstruction + 3 unrolled PageRank iterations;
+        # update rule mirrors operators/graph.py (no dangling correction —
+        # every host links out by construction).
+        "host_rank": """
+            WITH e0 AS (
+              SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS src,
+                     'h' || CAST((doc_id * 7) % 50 AS VARCHAR) || '.example.org' AS dst
+              FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org',
+                     'h' || CAST((doc_id * 13) % 50 AS VARCHAR) || '.example.org'
+              FROM documents WHERE text IS NOT NULL
+            ), w AS (
+              SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+              FROM e0 GROUP BY src, dst
+            ), od AS (SELECT src, sum(w) AS od FROM w GROUP BY src),
+            frac AS (
+              SELECT w.src, w.dst, w.w / od.od AS frac FROM w JOIN od USING (src)
+            ), nodes AS (
+              SELECT DISTINCT h FROM (
+                SELECT src AS h FROM w UNION ALL SELECT dst FROM w)
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT h AS node, 1.0 / n AS rank FROM nodes, nn),
+            r1 AS (
+              SELECT nodes.h AS node,
+                     (1 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT frac.dst, sum(r0.rank * frac.frac) AS s
+                FROM frac JOIN r0 ON frac.src = r0.node GROUP BY frac.dst
+              ) c ON c.dst = nodes.h
+            ), r2 AS (
+              SELECT nodes.h AS node,
+                     (1 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT frac.dst, sum(r1.rank * frac.frac) AS s
+                FROM frac JOIN r1 ON frac.src = r1.node GROUP BY frac.dst
+              ) c ON c.dst = nodes.h
+            ), r3 AS (
+              SELECT nodes.h AS node,
+                     (1 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT frac.dst, sum(r2.rank * frac.frac) AS s
+                FROM frac JOIN r2 ON frac.src = r2.node GROUP BY frac.dst
+              ) c ON c.dst = nodes.h
+            )
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+        """,
         # Full training+scoring replay of the unigram LM: add-1 smoothing,
         # vocab 500 (count-desc, word tie-break), denominator N + 501,
         # OOV = ln(1/(N+501)); mean log-prob per doc at round 6.

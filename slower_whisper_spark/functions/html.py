@@ -149,3 +149,14 @@ def render_html_py(text: str, variant: int = 0, tokens_per_p: int = 17) -> str:
     head = "<head><title></title>" + (noise[-1] if noise else "") + "</head>"
     body = "<body>" + (noise[0] if noise else "") + "".join(paras) + "</body>"
     return "<!DOCTYPE html><html>" + head + body + "</html>"
+
+
+def extract_links(c, from_binary: bool = False):
+    """href targets of anchor tags as array<string> — one JVM
+    regexp_extract_all, the outlink half of the extraction pipeline (the
+    web-graph builder's input). Double-quoted hrefs only (LITE,
+    documented); relative urls pass through for the caller's resolver."""
+    col = F.col(c) if isinstance(c, str) else c
+    if from_binary:
+        col = col.cast("string")
+    return F.regexp_extract_all(col, F.lit(r'<a\s[^>]*href="([^"]*)"'), 1)

@@ -1,0 +1,56 @@
+"""Host web graph + PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slower_whisper_spark.operators.graph import host_link_edges, pagerank
+
+
+def test_extract_and_host_edges(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.org/p",
+                '<a href="https://b.org/x">1</a><a href="https://b.org/y">2</a>'
+                '<a href="/relative">3</a><a href="https://c.org/">4</a>',
+            ),
+            ("https://b.org/q", '<a href="https://a.org/z">5</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {(r.src, r.dst): r.w for r in host_link_edges(pages).collect()}
+    # relative link dropped; b.org counted twice from a.org
+    assert got == {("a.org", "b.org"): 2, ("a.org", "c.org"): 1, ("b.org", "a.org"): 1}
+
+
+def test_pagerank_known_graph(spark):
+    # two nodes pointing at each other -> symmetric, rank 0.5 each at
+    # every iteration; a third dangling-source chain shifts mass
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
+
+    chain = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "b", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x.node: x.rank for x in pagerank(chain, iterations=20).collect()}
+    # b and c trade the bulk of the mass; a keeps only the base term
+    assert r["a"] < r["c"] < r["b"]
+    assert abs(r["a"] - (1 - 0.85) / 3) < 1e-9
+
+
+def test_pagerank_weighted_split(spark):
+    # a splits 3:1 between b and c in one iteration
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x.node: x.rank for x in pagerank(edges, iterations=1).collect()}
+    base = 0.15 / 3
+    third = 1.0 / 3
+    assert abs(r["b"] - (base + 0.85 * third * 0.75)) < 1e-9
+    assert abs(r["c"] - (base + 0.85 * third * 0.25)) < 1e-9
