@@ -3330,11 +3330,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     conditional_verdicts, median_by_group, categorical_distribution,
     #     unique_check, dup_key_counts, cross_field_join, top_customers,
     #     shipping_priority — all inside the first 50 again in r5.
-    #   r5 tail (all green in CORRECTNESS_r04 on since-unchanged code; 16
-    #     parked because ann_ivf_partitioned + ivf_train_distributed +
-    #     turn_lifecycle_batch + gif_decode + jpeg_decode +
-    #     neardup_components joined the window): the set below. r6 must
-    #     swap THESE back in and park a different green-in-r5 set.
+    #   r5 tail (the set below, grown through the round as 16 new webtext
+    #     driver queries — ann_ivf_partitioned/ivf_train_distributed/
+    #     turn_lifecycle_batch/gif/jpeg/neardup_components early, then
+    #     url_domain_stats/warc_roundtrip/cdx_index/quality_filter/
+    #     crawl_delta/paragraph_dedup/robots_verdicts/vocab_topk/
+    #     corpus_sample/domain_cap/quality_gate_rollup/contamination/
+    #     wet_extract/lm_perplexity/host_rank — claimed window slots; every
+    #     parked query was green in CORRECTNESS_r04 or this round's full
+    #     local oracle board on since-unchanged code). r6 MUST swap THESE
+    #     back into the window and park a different green-in-r5 set so the
+    #     union of r5+r6 driver rows covers all registered queries.
     _TAIL_R5 = [
         "bpe_tokens",
         "keyword_extract",
