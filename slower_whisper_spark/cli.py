@@ -118,6 +118,19 @@ def main(argv: list[str] | None = None) -> int:
     from slower_whisper_spark.session import get_spark
     from slower_whisper_spark.sources.catalog import read, snapshot_id
 
+    # fail fast with actionable messages BEFORE paying the Spark session
+    # startup (a missing path used to surface as a raw analyzer traceback
+    # 15 s in)
+    import os as _os
+
+    if not _os.path.exists(args.table):
+        p.error(f"table path does not exist: {args.table}")
+    if not _os.path.exists(args.suite) and not args.registry:
+        p.error(
+            f"--suite {args.suite!r} is not a file; to reference a registry "
+            "suite as name[@vN], also pass --registry DIR"
+        )
+
     spark = get_spark(app_name="sws-cli", master=args.master)
     suite = _resolve_suite(args.suite, args.registry)
     if getattr(args, "format", "parquet") == "warc":

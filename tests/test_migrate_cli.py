@@ -190,3 +190,21 @@ def test_cli_manifest_kll_drift_gate(tmp_path, docs_small, spark, capsys):
     # the rejected batch persisted NOTHING — its shifted sketches must not
     # become the next run's baseline (self-disarming-gate regression)
     assert len(CheckpointManifest(mdir).load()) == n_before
+
+
+def test_cli_missing_paths_fail_fast(capsys):
+    """Missing table / suite paths exit 2 with an actionable message
+    BEFORE any Spark session starts (was: raw analyzer traceback)."""
+    import pytest as _pytest
+
+    from slower_whisper_spark.cli import main
+
+    with _pytest.raises(SystemExit) as e:
+        main(["validate", "/nonexistent/table", "--suite", "/tmp/vtab/suite.json"])
+    assert e.value.code == 2
+    assert "does not exist" in capsys.readouterr().err
+
+    with _pytest.raises(SystemExit) as e2:
+        main(["validate", "/tmp", "--suite", "no_such_suite"])
+    assert e2.value.code == 2
+    assert "--registry" in capsys.readouterr().err
