@@ -68,5 +68,13 @@ def partition_snapshots(path: str, partition_col: str) -> dict[str, str]:
     return out
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read(spark: SparkSession, path: str, *, merge_schema: bool = True) -> DataFrame:
+    """Table scan with schema evolution ON by default: an append-mostly
+    webtext table grows columns over crawls (the Iceberg add-column
+    contract), and per-file footers may disagree — ``mergeSchema`` unions
+    them (missing columns read as NULL in old partitions, so NotNull rules
+    on new columns localize exactly to pre-evolution data). The merge
+    reads footers only, not data; pass ``merge_schema=False`` to pin the
+    first-footer schema on petabyte file counts where even footer listing
+    is budgeted."""
+    return spark.read.option("mergeSchema", str(bool(merge_schema)).lower()).parquet(path)

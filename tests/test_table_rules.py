@@ -276,3 +276,29 @@ def test_drift_handles_nonidentifier_and_expression_columns(spark):
     rule2 = Drift("abs(`content-length`)", base2, metric="psi", threshold=0.1, min_rows=10)
     v2, _ = rule2.evaluate(df, key_col="key", partition_col="part", violation_limit=10)
     assert v2.collect()[0]["passed"]
+
+
+def test_catalog_read_merges_evolved_schema(spark, tmp_path):
+    """Append-mostly schema evolution: a column added in a later partition
+    unions into the scan schema; pre-evolution partitions read it as NULL,
+    so a NotNull rule localizes violations to exactly the old partition."""
+    from slower_whisper_spark import ConstraintSuite, NotNull
+    from slower_whisper_spark.sources.catalog import read
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [("u1", "t1", "d1")], "url string, text string, day string"
+    ).write.partitionBy("day").parquet(path)
+    spark.createDataFrame(
+        [("u2", "t2", "en", "d2")], "url string, text string, lang string, day string"
+    ).write.mode("append").partitionBy("day").parquet(path)
+
+    df = read(spark, path)
+    assert "lang" in df.columns
+    got = {r.url: r.lang for r in df.collect()}
+    assert got == {"u1": None, "u2": "en"}
+
+    suite = ConstraintSuite("ev", [NotNull("lang", rule_id="r_lang")])
+    res = suite.validate(df, key_col="url", partition_col="day")
+    v = {r.partition: r.violations for r in res.verdicts.collect()}
+    assert v == {"d1": 1, "d2": 0}
