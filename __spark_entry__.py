@@ -3393,8 +3393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard",
         # parked when wet_extract joined the window
         "simhash_neardup",
-        # parked when lm_perplexity joined the window
-        "dup_key_counts",
+        # parked when lm_perplexity joined the window (pricing_summary was
+        # green in the r4 WINDOW; dup_key_counts could not be parked — it
+        # was r4-tailed, so r5 owes it a fresh row)
+        "pricing_summary",
         # parked when host_rank joined the window
         "embedding_neardup",
     ]
