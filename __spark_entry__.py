@@ -3318,6 +3318,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_rank"] = q_host_rank
 
+    def q_host_centrality(spark, sf):
+        """Bounded-depth harmonic centrality over the same extracted host
+        graph as host_rank (the second CC host-graph artifact) — exact
+        BFS as join→min-agg rounds, depth 3. Oracle: arithmetic edge
+        reconstruction + 3 unrolled frontier/min CTEs in SQL."""
+        from slower_whisper_spark.operators.graph import (
+            harmonic_centrality,
+            host_link_edges,
+        )
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        i = F.col("doc_id")
+
+        def host_url(expr, path):
+            return F.concat(
+                F.lit("https://h"), expr.cast("string"),
+                F.lit(".example.org"), F.lit(path),
+            )
+
+        html = F.concat(
+            F.lit('<html><body><a href="'), host_url((i * 7) % 50, "/x"),
+            F.lit('">a</a> <a href="'), host_url((i * 13) % 50, "/y"),
+            F.lit('">b</a></body></html>'),
+        )
+        pages = docs.select(host_url(i % 50, "/p").alias("url"), html.alias("html"))
+        edges = host_link_edges(pages)
+        return (
+            harmonic_centrality(edges, max_depth=3)
+            .select("node", F.round("harmonic", 6).alias("harmonic"))
+            .orderBy("node")
+        )
+
+    q["host_centrality"] = q_host_centrality
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3399,6 +3433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary",
         # parked when host_rank joined the window
         "embedding_neardup",
+        # parked when host_centrality joined the window
+        "vectorized_rule",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4308,6 +4344,30 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "html_extract": _HTML_EXTRACT_ORACLE,
+        # Arithmetic edges + 3 unrolled BFS frontier/min rounds; update
+        # mirrors operators/graph.py harmonic_centrality exactly.
+        "host_centrality": """
+            WITH e0 AS (
+              SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS src,
+                     'h' || CAST((doc_id * 7) % 50 AS VARCHAR) || '.example.org' AS dst
+              FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org',
+                     'h' || CAST((doc_id * 13) % 50 AS VARCHAR) || '.example.org'
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (SELECT DISTINCT src, dst FROM e0),
+            d1 AS (SELECT DISTINCT src AS u, dst AS v, 1 AS d FROM e),
+            n2 AS (SELECT d1.u, e.dst AS v, 2 AS d
+                   FROM d1 JOIN e ON d1.v = e.src WHERE d1.d = 1),
+            d2 AS (SELECT u, v, min(d) AS d FROM (
+                     SELECT * FROM d1 UNION ALL SELECT * FROM n2) GROUP BY u, v),
+            n3 AS (SELECT d2.u, e.dst AS v, 3 AS d
+                   FROM d2 JOIN e ON d2.v = e.src WHERE d2.d = 2),
+            d3 AS (SELECT u, v, min(d) AS d FROM (
+                     SELECT * FROM d2 UNION ALL SELECT * FROM n3) GROUP BY u, v)
+            SELECT v AS node, round(sum(1.0 / d), 6) AS harmonic
+            FROM d3 WHERE u <> v GROUP BY v ORDER BY node
+        """,
         # Arithmetic edge reconstruction + 3 unrolled PageRank iterations;
         # update rule mirrors operators/graph.py (no dangling correction —
         # every host links out by construction).

@@ -96,3 +96,46 @@ def pagerank(
             ),
         )
     return ranks
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Exact bounded-depth harmonic centrality — the OTHER host-graph
+    artifact Common Crawl publishes per crawl: H(v) = Σ 1/d(u,v) over
+    nodes u that reach v within ``max_depth`` unweighted directed hops.
+
+    Iterative frontier expansion as join→min-agg rounds (same discipline
+    as ``pagerank``): distances table (u, v, d) grows by one hop per
+    round and re-minimizes, so a revisit never shortens below the true
+    distance. Exact form is for host-graph scale (nodes ≪ pages; the
+    distance table is O(reachable pairs within D)); at 10^9-node scale the
+    standard swap-in is HyperBall (per-node HLL neighborhood counters —
+    the package's mergeable-sketch pattern), which this bounded-depth API
+    is shaped to accept. Output: ``(node, harmonic)`` for nodes with at
+    least one in-path; 1/d sums as double — consumers round for
+    comparisons."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct()
+    dist = e.select(
+        F.col("_s").alias("u"), F.col("_t").alias("v"), F.lit(1).alias("d")
+    ).distinct()
+    for k in range(2, int(max_depth) + 1):
+        frontier = dist.where(F.col("d") == k - 1)
+        nxt = (
+            frontier.join(e, frontier["v"] == e["_s"])
+            .select("u", F.col("_t").alias("v"), F.lit(k).alias("d"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.where(F.col("u") != F.col("v"))
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.lit(1.0) / F.col("d")).alias("harmonic"))
+    )

@@ -54,3 +54,39 @@ def test_pagerank_weighted_split(spark):
     third = 1.0 / 3
     assert abs(r["b"] - (base + 0.85 * third * 0.75)) < 1e-9
     assert abs(r["c"] - (base + 0.85 * third * 0.25)) < 1e-9
+
+
+def test_harmonic_centrality_chain(spark):
+    # a -> b -> c -> d: H(b)=1, H(c)=1+1/2, H(d)=1+1/2+1/3 (depth 3)
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    from slower_whisper_spark.operators.graph import harmonic_centrality
+
+    got = {r.node: round(r.harmonic, 9) for r in
+           harmonic_centrality(edges, max_depth=3).collect()}
+    assert got == {
+        "b": 1.0,
+        "c": round(1 + 1 / 2, 9),
+        "d": round(1 + 1 / 2 + 1 / 3, 9),
+    }
+    # depth cap: at max_depth=2, d never sees the 3-hop path from a
+    got2 = {r.node: round(r.harmonic, 9) for r in
+            harmonic_centrality(edges, max_depth=2).collect()}
+    assert got2["d"] == round(1 + 1 / 2, 9)
+
+
+def test_harmonic_cycle_min_distance(spark):
+    # 2-cycle plus a shortcut: min() must keep the 1-hop distance even
+    # after longer rediscoveries
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("a", "a", 1)],
+        "src string, dst string, w long",
+    )
+    from slower_whisper_spark.operators.graph import harmonic_centrality
+
+    got = {r.node: r.harmonic for r in
+           harmonic_centrality(edges, max_depth=4).collect()}
+    # self-loop pair excluded; each node reaches the other at d=1
+    assert got == {"a": 1.0, "b": 1.0}
