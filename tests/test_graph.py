@@ -90,3 +90,41 @@ def test_harmonic_cycle_min_distance(spark):
            harmonic_centrality(edges, max_depth=4).collect()}
     # self-loop pair excluded; each node reaches the other at d=1
     assert got == {"a": 1.0, "b": 1.0}
+
+
+def test_hyperball_matches_exact_on_chain(spark):
+    from slower_whisper_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    hb = {r.node: r.harmonic_est for r in
+          hyperball_harmonic(edges, max_depth=3).collect()}
+    # HLL sparse mode is exact at this cardinality
+    assert abs(hb["b"] - 1.0) < 1e-6
+    assert abs(hb["c"] - 1.5) < 1e-6
+    assert abs(hb["d"] - (1 + 1 / 2 + 1 / 3)) < 1e-6
+    assert abs(hb["a"] - 0.0) < 1e-6  # nothing reaches a
+
+
+def test_hyperball_tracks_exact_on_arithmetic_graph(spark):
+    from slower_whisper_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    rows = [(f"h{i%23}", f"h{(i*7)%23}") for i in range(200)] + [
+        (f"h{i%23}", f"h{(i*5+1)%23}") for i in range(200)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    exact = {r.node: r.harmonic for r in
+             harmonic_centrality(edges, max_depth=4).collect()}
+    approx = {r.node: r.harmonic_est for r in
+              hyperball_harmonic(edges, max_depth=4).collect()}
+    assert set(exact) <= set(approx)
+    for n, want in exact.items():
+        assert abs(approx[n] - want) <= max(0.08 * want, 0.05), (n, approx[n], want)
