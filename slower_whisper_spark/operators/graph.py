@@ -57,12 +57,16 @@ def pagerank(
     weight: str | None = "w",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank, fixed iterations → ``(node, rank)``.
 
     Deterministic given the edge multiset (float-sum ordering noise is
     below round-6; consumers should round for comparisons). One driver
     scalar (node count); everything else stays distributed.
+    ``checkpoint_every=N`` localCheckpoints the rank vector every N
+    rounds — REQUIRED for deep iteration counts, where the join-per-round
+    lineage otherwise grows linearly and re-plans quadratically.
     """
     w = F.col(weight) if weight else F.lit(1)
     ew = edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst")).agg(
@@ -82,7 +86,9 @@ def pagerank(
     )
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
+        if checkpoint_every and it and it % int(checkpoint_every) == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         contribs = (
             frac.join(ranks, frac["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("frac")).alias("c"))

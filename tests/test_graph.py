@@ -128,3 +128,17 @@ def test_hyperball_tracks_exact_on_arithmetic_graph(spark):
     assert set(exact) <= set(approx)
     for n, want in exact.items():
         assert abs(approx[n] - want) <= max(0.08 * want, 0.05), (n, approx[n], want)
+
+
+def test_pagerank_checkpoint_same_result(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)],
+        "src string, dst string, w long",
+    )
+    from slower_whisper_spark.operators.graph import pagerank
+
+    plain = {r.node: round(r.rank, 12) for r in
+             pagerank(edges, iterations=12).collect()}
+    ck = {r.node: round(r.rank, 12) for r in
+          pagerank(edges, iterations=12, checkpoint_every=4).collect()}
+    assert plain == ck
