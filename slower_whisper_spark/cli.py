@@ -140,7 +140,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from slower_whisper_spark.sources.warc import read_warc
 
-        recs = read_warc(spark, args.table).where(F.col("verdict") == "ok")
+        # malformed records are NOT silently dropped: they surface as rows
+        # with warc_verdict='malformed' and NULL url/text, so a suite's
+        # not_null/const rules report them as ordinary violations with
+        # their (file, offset) locator
+        recs = read_warc(spark, args.table)
         df = recs.select(
             "url",
             F.col("payload").cast("string").alias("text"),
@@ -148,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             "file",
             "offset",
             "content_type",
+            F.col("verdict").alias("warc_verdict"),
         )
     else:
         df = read(spark, args.table)

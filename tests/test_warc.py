@@ -168,6 +168,7 @@ def test_cli_validate_warc_input(spark, docs_small, tmp_path, capsys):
         "name": "warcsuite", "version": 2,
         "rules": [
             {"type": "not_null", "column": "url", "rule_id": "r1"},
+            {"type": "const", "column": "warc_verdict", "value": "ok", "rule_id": "r0"},
             {"type": "quality", "kind": "min_tokens", "column": "text",
              "value": 100000, "rule_id": "r2"},  # impossible -> violations
         ],
@@ -189,3 +190,36 @@ def test_cli_validate_warc_input(spark, docs_small, tmp_path, capsys):
         "--gate",
     ])
     assert rc_gate == 1
+
+
+def test_cli_warc_malformed_records_become_violations(spark, tmp_path, capsys):
+    """A corrupt record is a VIOLATION row with its (file, offset)
+    locator, never silently dropped at the gate."""
+    import json
+
+    from slower_whisper_spark.cli import main
+
+    wdir = str(tmp_path / "bad_warc")
+    import os
+
+    os.makedirs(wdir)
+    with open(f"{wdir}/part-00000.warc", "wb") as fh:
+        fh.write(_record("http://ok/1", b"fine payload"))
+        fh.write(b"GARBAGE NOT A RECORD\r\n")
+        fh.write(_record("http://ok/2", b"also fine"))
+    spec = {
+        "name": "s", "version": 2,
+        "rules": [{"type": "const", "column": "warc_verdict", "value": "ok",
+                   "rule_id": "r_wv"}],
+    }
+    spath = str(tmp_path / "s.json")
+    with open(spath, "w") as fh:
+        json.dump(spec, fh)
+    rc = main([
+        "validate", wdir, "--format", "warc", "--suite", spath,
+        "--key-col", "offset", "--partition-col", "file", "--master", "local[4]",
+        "--gate",
+    ])
+    assert rc == 1  # the malformed record fails the gate
+    err = capsys.readouterr().err
+    assert "r_wv" in err and "malformed" in err
