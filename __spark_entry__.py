@@ -3352,6 +3352,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_centrality"] = q_host_centrality
 
+    def q_mixture_report(spark, sf):
+        """Training-mix ledger (operators/sampling.py mixture_report):
+        per-stratum docs/tokens before and after the deterministic
+        md5-bucket mixture (en 50% / de 25% / rest 10%), plus the realized
+        document fraction — the token-budget table a mixture design is
+        reviewed against. One scan, conditional sums, no join. Oracle
+        replays the bucket thresholds and whitespace token counts."""
+        from slower_whisper_spark.operators.sampling import mixture_report
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        return mixture_report(
+            docs,
+            strata_col="lang",
+            fractions={"en": 0.5, "de": 0.25},
+            key_col="doc_id",
+            default_fraction=0.1,
+        ).orderBy("stratum")
+
+    q["mixture_report"] = q_mixture_report
+
     # ---- ROTATION ---------------------------------------------------------- #
     # The driver oracle-checks the FIRST 50 registered queries each round.
     # New or recently-changed queries must sit inside that window (VERDICT r3
@@ -3435,6 +3455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup",
         # parked when host_centrality joined the window
         "vectorized_rule",
+        # parked when mixture_report joined the window
+        "refint_orphans",
     ]
     rotated = {k: v for k, v in q.items() if k not in _TAIL_R5}
     rotated.update({k: q[k] for k in _TAIL_R5})
@@ -4551,6 +4573,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rows AS BIGINT) AS rows,
                    CAST(violations AS BIGINT) AS violations
             FROM u ORDER BY partition, rule_id
+        """,
+        "mixture_report": """
+            WITH s AS (
+              SELECT lang AS stratum,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+                       CASE WHEN lang = 'en' THEN 2147483648
+                            WHEN lang = 'de' THEN 1073741824
+                            ELSE 429496729 END AS kept
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT stratum, count(*) AS docs_total,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+                   CAST(sum(n) AS BIGINT) AS tokens_total,
+                   CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS tokens_kept,
+                   round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                     AS realized_frac
+            FROM s GROUP BY stratum ORDER BY stratum
         """,
         # md5-bucket replay: thresholds are exact int(frac * 2^32) literals,
         # bucket = first 8 md5 hex chars of the decimal doc_id

@@ -92,3 +92,53 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w))
         .where(F.col("domain_rank") <= int(cap))
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    text_col: str = "text",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """The training-mix ledger: for each stratum, documents and whitespace
+    tokens before/after ``stratified_sample`` plus the realized document
+    fraction — the per-source token-budget table a mixture design is
+    reviewed against.
+
+    One scan, one aggregate: membership is recomputed as the same
+    row-local md5 predicate (no join against the sampled output), so the
+    report costs a groupBy on the (low-cardinality) stratum key with
+    conditional sums."""
+    from slower_whisper_spark.functions.text import token_count
+
+    pairs: list[Column] = []
+    for k, v in sorted(fractions.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(v * _BUCKETS)))
+    thr = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(default_fraction * _BUCKETS)),
+    )
+    kept = sample_bucket(key_col, salt) < thr
+    toks = token_count(F.col(text_col))
+    return (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(kept.cast("long")).alias("docs_kept"),
+            F.sum(toks).alias("tokens_total"),
+            F.sum(F.when(kept, toks).otherwise(F.lit(0))).alias("tokens_kept"),
+        )
+        .select(
+            "stratum",
+            "docs_total",
+            "docs_kept",
+            "tokens_total",
+            "tokens_kept",
+            F.round(F.col("docs_kept") / F.col("docs_total"), 6).alias("realized_frac"),
+        )
+    )

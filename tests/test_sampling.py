@@ -77,3 +77,24 @@ def test_bucket_matches_duckdb(spark):
     )
     for r in df.collect():
         assert r.b == want[r.k], (r.k, r.b, want[r.k])
+
+
+def test_mixture_report_consistent_with_sample(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], "w " * (i % 7 + 1)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, lang string, text string")
+    from slower_whisper_spark.operators.sampling import mixture_report
+
+    rep = {r.stratum: r for r in mixture_report(
+        df, strata_col="lang", fractions={"en": 0.5}, key_col="k",
+        default_fraction=0.1,
+    ).collect()}
+    sampled = stratified_sample(
+        df, strata_col="lang", fractions={"en": 0.5}, key_col="k",
+        default_fraction=0.1,
+    )
+    got = {r.lang: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    for lg in ("en", "de", "fr"):
+        assert rep[lg].docs_kept == got.get(lg, 0)
+        assert rep[lg].docs_total == 1000
+        assert rep[lg].tokens_kept <= rep[lg].tokens_total
+        assert rep[lg].realized_frac == round(rep[lg].docs_kept / 1000, 6)
