@@ -223,3 +223,26 @@ def test_cli_warc_malformed_records_become_violations(spark, tmp_path, capsys):
     assert rc == 1  # the malformed record fails the gate
     err = capsys.readouterr().err
     assert "r_wv" in err and "malformed" in err
+
+
+def test_cdx_lookup_fetches_one_record(spark, docs_small, tmp_path):
+    docs, _, _ = docs_small
+    src = (
+        docs.where(F.col("url").isNotNull() & F.col("text").isNotNull())
+        .select("url", "text")
+        .limit(150)
+    )
+    wdir = str(tmp_path / "lk_warc")
+    W.write_warc_files(src, wdir, file_key=F.abs(F.hash("url")) % 3).collect()
+    ipath = str(tmp_path / "lk_idx")
+    W.cdx_index(W.read_warc(spark, wdir), num_shards=2).write.parquet(ipath)
+
+    target = src.orderBy("url").collect()[42]
+    hits = W.cdx_lookup(spark, ipath, target.url)
+    assert len(hits) == 1
+    f, off, ln = hits[0]
+    with open(f"{wdir}/{f}", "rb") as fh:
+        fh.seek(off)
+        rec = W.parse_warc_bytes(fh.read())[0]
+    assert rec["url"] == target.url
+    assert rec["payload"].decode() == target.text and rec["content_length"] == ln
