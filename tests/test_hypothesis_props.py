@@ -161,3 +161,17 @@ def test_normalize_url_idempotent_property(spark, labels, scheme, tail):
     assert row.n1.split("://", 1)[1].split("/", 1)[0].islower() or not any(
         c.isalpha() for c in row.n1.split("://", 1)[1].split("/", 1)[0]
     )
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=600))
+def test_robots_parser_total_on_arbitrary_text(body):
+    """parse_robots_body is total: any text yields a (possibly empty)
+    rule list with lowercase agents, known rule kinds, non-empty prefixes."""
+    from slower_whisper_spark.operators.robots import parse_robots_body
+
+    rules = parse_robots_body(body)
+    for agent, kind, prefix in rules:
+        assert agent == agent.lower()
+        assert kind in ("allow", "disallow")
+        assert prefix != ""
