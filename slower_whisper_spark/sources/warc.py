@@ -308,7 +308,8 @@ def cdx_lookup(
     from slower_whisper_spark.functions.url import surt_key
 
     idx = spark.read.parquet(index_path)
-    key = idx.select(surt_key(F.lit(url)).alias("k")).limit(1).collect()[0].k
+    # evaluate the literal's SURT on a 1-row range — no index scan for it
+    key = spark.range(1).select(surt_key(F.lit(url)).alias("k")).collect()[0].k
     rows = (
         idx.where((F.col("surt") == key) & (F.col("url") == url))
         .select("file", "rec_offset", "length")
