@@ -166,17 +166,41 @@ def hashed_shingle_rows(df, id_col: str, text_col: str, n: int = 3):
     Token semantics equal ``tokens(normalize_text(..))``: lowercase alnum
     runs. Short docs (1 ≤ tokens < n) get one whole-doc shingle (hash of the
     token-hash array); empty docs yield nothing. Collision risk 2^-64 —
-    fine for candidate generation and minhash signatures."""
-    return hashed_gram_arrays(df, id_col, text_col, n=n).select(
-        "id", F.explode("__grams").alias("sh")
-    )
+    fine for candidate generation and minhash signatures.
+
+    PLAN SHAPE: the gram expression is exploded DIRECTLY, never via an
+    aliased intermediate column. Catalyst's InferFiltersFromGenerate only
+    fires when the generator input is a bare Attribute; exploding an alias
+    lets it infer ``size(col) > 0`` and push that predicate — with the whole
+    tokenize→hash→gram tree substituted in — down into the parquet scan's
+    data filter, tokenizing every document TWICE (the r5 regression:
+    minhash_neardup 2.42 s → 18.61 s). Guarded by a plan test asserting no
+    xxhash64 appears in any scan filter of the minhash plan."""
+    th, grams = _hashed_token_grams(df, id_col, text_col, n=n)
+    return th.select("id", F.explode(grams).alias("sh"))
 
 
 def hashed_gram_arrays(df, id_col: str, text_col: str, n: int = 3):
     """(id, __grams array<bigint>) — the per-document hashed-shingle array
     ``hashed_shingle_rows`` explodes, exposed so row-local consumers
     (e.g. contamination containment's per-doc SET via array_distinct) can
-    dedup/size the grams with ZERO shuffle before any explode."""
+    dedup/size the grams with ZERO shuffle before any explode.
+
+    WARNING: never ``F.explode()`` the returned ``__grams`` column — see the
+    InferFiltersFromGenerate note on ``hashed_shingle_rows``. Use
+    ``hashed_shingle_rows`` (or explode the expression via
+    ``_hashed_token_grams`` / ``F.explode_outer``) instead."""
+    th, grams = _hashed_token_grams(df, id_col, text_col, n=n)
+    return th.select("id", grams.alias("__grams"))
+
+
+def _hashed_token_grams(df, id_col: str, text_col: str, n: int = 3):
+    """Internal shared core of the hashed-shingle builders: returns
+    ``(th, grams)`` where ``th`` is the (id, __th, __n) frame with the
+    token-hash array MATERIALIZED as a column and ``grams`` is the
+    shingle-hash array expression over it, so callers choose how to consume
+    the expression (direct explode, aliased array, array_distinct + explode)
+    without re-stating the tokenizer."""
     # pre-filter on a cheap regex instead of size(__tk) > 0: a size filter
     # would be pushed below the projection with the tokenizer expression
     # substituted in, tokenizing every document twice
@@ -196,7 +220,7 @@ def hashed_gram_arrays(df, id_col: str, text_col: str, n: int = 3):
             lambda i: F.xxhash64(*[F.element_at(F.col("__th"), i + k) for k in range(n)]),
         ),
     ).otherwise(F.array(F.xxhash64(F.col("__th"))))
-    return th.select("id", grams.alias("__grams"))
+    return th, grams
 
 
 def shingle_rows(df, id_col: str, text_col: str, n: int = 3):

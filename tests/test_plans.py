@@ -350,3 +350,42 @@ def test_snapshot_delta_shuffles_fingerprints_not_bodies(docs_parquet):
     for inp in exchange_inputs:
         assert "text#" not in inp, inp
         assert "_fp#" in inp or "url#" in inp, inp
+
+
+def test_no_gram_tree_in_shingle_scan_filters(docs_parquet):
+    """The r5 regression gate (VERDICT r5 what's-wrong #1/#2): exploding an
+    ALIASED gram-array column lets InferFiltersFromGenerate infer
+    ``size(col) > 0`` and push it — with the whole tokenize→hash→gram tree
+    substituted in — down into the parquet scan's data filters, so every
+    document is tokenized and shingled TWICE (minhash_neardup 2.42 s →
+    18.61 s). The fixed shape explodes the gram EXPRESSION directly (or uses
+    explode_outer), which that rule cannot touch. Assert no xxhash64 appears
+    in any Filter condition or scan filter of the minhash and contamination
+    plans."""
+    from slower_whisper_spark.operators import jaccard_pairs, minhash_lsh_candidates
+    from slower_whisper_spark.operators.dedup import contamination_pairs
+    from slower_whisper_spark.plans import explain_str
+
+    def scan_and_filter_lines(df):
+        return [
+            ln
+            for ln in explain_str(df).splitlines()
+            if ln.strip().startswith(("Condition :", "DataFilters:", "PushedFilters:"))
+        ]
+
+    docs = docs_parquet.select("url", "text")
+    cand = minhash_lsh_candidates(docs, "text", "url", num_hashes=8, bands=4)
+    pairs = jaccard_pairs(
+        docs, "text", "url", threshold=0.8, candidates=cand, hashed_shingles=True
+    )
+    bad = [ln for ln in scan_and_filter_lines(pairs) if "xxhash64" in ln]
+    assert not bad, bad[0][:500]
+
+    evals = docs.where(F.crc32("url") % 10 == 0).select(
+        F.col("url").alias("eval_id"), "text"
+    )
+    cont = contamination_pairs(
+        docs, evals, train_id_col="url", eval_id_col="eval_id", shingle_n=5
+    )
+    bad = [ln for ln in scan_and_filter_lines(cont) if "xxhash64" in ln]
+    assert not bad, bad[0][:500]
