@@ -46,6 +46,12 @@ def _pair_cos(a, b, compute_dtype: str = "float64") -> F.Column:
     return make_cosine_pair(compute_dtype)(a, b)
 
 
+# queries larger than this fall back to the pair-wise cross-join path: the
+# matrix kernel collects the query set to the driver (bounded collect — the
+# same pattern as the stop-shingle set), and 10^4 × 64-dim float64 is ~5 MB
+_QUERY_MATRIX_CAP = 10_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,7 +64,92 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbours per query: (query_id, neighbor_id, cos, rank).
 
-    queries is expected to be small (broadcast); corpus streams."""
+    queries is expected to be small (broadcast); corpus streams.
+
+    Plan shape (guide §4.1/§2.3): the query set is collected once (bounded —
+    ≤ ``_QUERY_MATRIX_CAP`` rows, the broadcast-dimension pattern) into a
+    numpy matrix captured by a ``mapInPandas`` kernel over the CORPUS alone,
+    so each corpus vector crosses the Arrow boundary exactly ONCE instead of
+    once per query (the previous crossJoin shipped |corpus| × |queries|
+    vector PAIRS through Python), and one dgemm per batch scores every
+    query. The kernel also pre-reduces to an exact per-batch top-k per query
+    under the same total order the window uses — (cos DESC NULLS LAST,
+    neighbor_id ASC) — so the global window ranks batches × queries × k rows
+    instead of |corpus| × |queries|. Zero-norm vectors keep the NULL-cos
+    semantics of the pair kernel (sort last, never rank above a number).
+    """
+    q_probe = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    q_rows = q_probe.limit(_QUERY_MATRIX_CAP + 1).collect()
+    if len(q_rows) > _QUERY_MATRIX_CAP:  # pragma: no cover - scale fallback
+        return _cosine_topk_pairs(corpus, queries, id_col=id_col, vec_col=vec_col,
+                                  query_id_col=query_id_col, k=k, exclude_self=exclude_self)
+
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, cos double"
+    narrow = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    spark = corpus.sparkSession
+    if not q_rows:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        import pandas as pd
+
+        q_ids = [r["query_id"] for r in q_rows]
+        Q = np.array([list(r["__qv"]) for r in q_rows], dtype=np.float64)  # (q, d)
+        qn = np.linalg.norm(Q, axis=1)
+        Qt = np.ascontiguousarray(Q.T)
+
+        def part_topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = np.array(pdf["__cv"].tolist(), dtype=np.float64)  # (b, d)
+                nids = pdf["neighbor_id"].to_numpy()
+                num = C @ Qt
+                den = np.linalg.norm(C, axis=1)[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / den
+                out_q: list = []
+                out_n: list = []
+                out_c: list = []
+                for j, qid in enumerate(q_ids):
+                    col = cos[:, j]
+                    mask = nids != qid if exclude_self else np.ones(len(col), bool)
+                    finite = np.flatnonzero(mask & np.isfinite(col))
+                    if len(finite):
+                        sel = finite[np.lexsort((nids[finite], -col[finite]))][:k]
+                        out_q += [qid] * len(sel)
+                        out_n += list(nids[sel])
+                        out_c += [float(x) for x in col[sel]]
+                    nonf = np.flatnonzero(mask & ~np.isfinite(col))
+                    if len(nonf):
+                        sel = nonf[np.argsort(nids[nonf], kind="stable")][:k]
+                        out_q += [qid] * len(sel)
+                        out_n += list(nids[sel])
+                        out_c += [None] * len(sel)
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+        scored = narrow.mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _cosine_topk_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Pair-wise crossJoin form of ``cosine_topk``: the fallback when the
+    query set exceeds the driver-matrix cap. Ships every (query, corpus)
+    vector pair through the Arrow boundary — correct at any |queries|, but
+    |queries|× the transfer of the matrix kernel."""
     # native vector type end-to-end: the numpy kernel upcasts to float64
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
