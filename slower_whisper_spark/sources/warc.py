@@ -113,16 +113,20 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> list[dict]:
         if hdr_end == -1:
             out.append(_malformed(file, start))
             break
-        headers: dict[str, str] = {}
+        # headers stay BYTES until a value is actually emitted: the per-batch
+        # parse is the WARC leg's per-core ceiling, and decoding every header
+        # key+value (~16 decodes/record) just to read 5 of them was ~30% of
+        # it. bytes.lower() only maps ASCII letters — identical key matching
+        # to the old decode('ascii','replace').lower() for ASCII header
+        # names, and a non-ASCII key can't match our fixed names either way.
+        headers: dict[bytes, bytes] = {}
         for line in data[pos + len(marker) : hdr_end].split(b"\r\n"):
             k, sep, v = line.partition(b":")
             if sep:
-                headers[k.strip().decode("ascii", "replace").lower()] = (
-                    v.strip().decode("utf-8", "replace")
-                )
+                headers[k.strip().lower()] = v.strip()
         body_start = hdr_end + len(_HDR_END)
         try:
-            clen = int(headers["content-length"])
+            clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
             clen = -1
         if clen < 0 or body_start + clen > n:
@@ -136,10 +140,10 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> list[dict]:
             {
                 "file": file,
                 "offset": start,
-                "url": headers.get("warc-target-uri"),
-                "warc_type": headers.get("warc-type"),
-                "warc_date": headers.get("warc-date"),
-                "content_type": headers.get("content-type"),
+                "url": _hdr_str(headers, b"warc-target-uri"),
+                "warc_type": _hdr_str(headers, b"warc-type"),
+                "warc_date": _hdr_str(headers, b"warc-date"),
+                "content_type": _hdr_str(headers, b"content-type"),
                 "content_length": clen,
                 "payload": data[body_start : body_start + clen],
                 "verdict": "ok",
@@ -147,6 +151,11 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> list[dict]:
         )
         pos = body_start + clen
     return out
+
+
+def _hdr_str(headers: dict[bytes, bytes], key: bytes) -> str | None:
+    v = headers.get(key)
+    return v.decode("utf-8", "replace") if v is not None else None
 
 
 def _malformed(file: str, offset: int) -> dict:
@@ -168,7 +177,10 @@ def _records_df(rows: list[dict]) -> pd.DataFrame:
         "file", "offset", "url", "warc_type", "warc_date",
         "content_type", "content_length", "payload", "verdict",
     ]
-    return pd.DataFrame([[r[c] for c in cols] for r in rows], columns=cols)
+    # column-wise construction: pandas builds one object array per column
+    # instead of inferring across a list of 9-element row lists (~1.3x on
+    # the parse+build core, measured on the bench blob shards)
+    return pd.DataFrame({c: [r[c] for r in rows] for c in cols}, columns=cols)
 
 
 def parse_warc_blobs(
