@@ -152,6 +152,11 @@ def _split_scan(b: bytes, start: int):
             intervals.append(bytes(cur))
             cur = bytearray()
             i += 2
+        elif m == 0xFF:
+            # 0xFF fill byte(s) the spec permits before a marker: consume
+            # the leading 0xFF and re-examine — treating it as end-of-scan
+            # truncated valid baseline streams mid-scan (ADVICE r5 #5)
+            i += 1
         else:  # EOI or a following marker segment
             break
     intervals.append(bytes(cur))

@@ -36,7 +36,7 @@ from slower_whisper_spark.functions.text import (
 )
 
 REASONS = (
-    "too_short", "too_long", "high_punct", "low_stopword",
+    "null_text", "too_short", "too_long", "high_punct", "low_stopword",
     "repetitive", "bad_lang", "blocked_domain",
 )
 
@@ -67,7 +67,13 @@ def quality_filter(
     """
     t = F.col(text_col)
     n = token_count(t)
+    # NULL text must DROP, matching rules/quality.py's documented semantics
+    # ("a row with no body cannot demonstrate quality"): every signal check
+    # below evaluates to NULL on NULL text and F.when(NULL, ...) yields NULL,
+    # so without this explicit reason such rows kept verdict='keep'
+    # (ADVICE r5 #1).
     checks: list[tuple[str, Column]] = [
+        ("null_text", t.isNull()),
         ("too_short", n < int(min_tokens)),
         ("too_long", n > int(max_tokens)),
         ("high_punct", punct_ratio(t) > float(max_punct_ratio)),

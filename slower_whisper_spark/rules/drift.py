@@ -43,7 +43,11 @@ def _sql_ref(name: str) -> str:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # backslashes first: Spark's SQL parser treats \ as an escape inside
+    # string literals by default, so an unescaped category value containing
+    # one would parse to a different literal than the F.lit Column path it
+    # replaced (ADVICE r5 #4)
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _dlit(v: float) -> str:

@@ -131,7 +131,9 @@ def unpivot_stats(
         names.append("hll_sketch_b64")
 
     def _q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        # backslashes first: \ is an escape in Spark SQL string literals
+        # (ADVICE r5 #4 — same fix as rules/drift._sql_str)
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     tuples = []
     for p in profiles:

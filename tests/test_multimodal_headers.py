@@ -647,3 +647,19 @@ def test_jpeg_huffman_canonical_table():
     assert t[(3, 0b110)] == 5
     assert t[(4, 0b1110)] == 6
     assert t[(9, 0b111111110)] == 11
+
+
+def test_jpeg_fill_bytes_before_eoi_decode():
+    """0xFF fill bytes the spec permits before a marker must not truncate
+    the scan (ADVICE r5 #5): a fixture JPEG with fill padding inserted
+    before EOI decodes to the same pixels as the unpadded stream."""
+    import __spark_entry__ as em
+    from slower_whisper_spark.operators.jpeg import decode_jpeg_pixels
+
+    for r in em._jpeg_fixture():
+        jpg = r["jpg"]
+        assert jpg.endswith(b"\xff\xd9"), r["img_id"]
+        padded = jpg[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+        px = decode_jpeg_pixels(padded)
+        assert px is not None, r["img_id"]
+        assert (px == r["expected"]).all(), r["img_id"]

@@ -302,3 +302,25 @@ def test_catalog_read_merges_evolved_schema(spark, tmp_path):
     res = suite.validate(df, key_col="url", partition_col="day")
     v = {r.partition: r.violations for r in res.verdicts.collect()}
     assert v == {"d1": 1, "d2": 0}
+
+
+def test_drift_categorical_backslash_category(docs_small, spark):
+    """Category values containing backslashes must bucket identically to
+    the F.lit Column path the SQL-text literals replaced: Spark's SQL
+    parser treats \\ as an escape inside string literals, so unescaped
+    values were silently mis-bucketed (ADVICE r5 #4)."""
+    docs, _, _ = docs_small
+    weird = docs.withColumn(
+        "lang", F.concat(F.lit("x\\"), F.col("lang"))
+    )
+    base = compute_baseline(weird, "lang", "cat")
+    assert any("\\" in c for c in base.categories)
+    res = ConstraintSuite(
+        "dbs", [Drift("lang", base, metric="psi", threshold=0.25)]
+    ).validate(weird, key_col="url", partition_col="warc_day")
+    verd = res.verdicts.toPandas()
+    scored = verd[~verd["observed"].str.startswith("skipped:")]
+    # identical distribution vs its own baseline → no drift anywhere; with
+    # the escape bug every backslash category fell into the absent bucket
+    # and the PSI breached
+    assert len(scored) > 0 and scored["passed"].all()
